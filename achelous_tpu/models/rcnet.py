@@ -1,0 +1,92 @@
+"""RCNet — Radar Convolution Network over the rasterized radar map.
+
+reference backbone/radar/RadarEncoder.py:23-109.  8 RCBlocks (2 per stage);
+every block runs an avg-pool + modulated deformable conv ("RadarConv"), a 1x1
+conv + BN + ReLU residual, then a downsampling (stride-2 3x3) or 1x1 exit conv.
+Features are tapped after blocks 3/5/7 at strides 8/16/32 with C/4 of the
+image-encoder widths.
+"""
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from achelous_tpu.core.config import WIDTHS
+from achelous_tpu.ops.deform import DeformableConv2d
+from achelous_tpu.ops.primitives import avg_pool_same
+
+Dtype = Any
+
+
+class RadarConv(nn.Module):
+    """reference RadarEncoder.py:23-41 ('pool' first_calculator: 3x3 avg-pool
+    stride 1, then 3x3 deformable conv)."""
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = avg_pool_same(x, 3)
+        return DeformableConv2d(self.features, kernel_size=3, stride=1,
+                                padding=1, use_bias=False, dtype=self.dtype,
+                                name="deformable_conv")(x)
+
+
+class RCBlock(nn.Module):
+    """reference RadarEncoder.py:44-74."""
+    features: int
+    down: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cin = x.shape[-1]
+        res = x
+        y = RadarConv(cin, dtype=self.dtype, name="radar_conv")(x)
+        y = nn.Conv(cin, (1, 1), use_bias=True, dtype=self.dtype,
+                    name="weight_conv1")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="norm")(y)
+        y = nn.relu(y)
+        y = res + y
+        if self.down:
+            y = nn.Conv(self.features, (3, 3), strides=2,
+                        padding=[(1, 1), (1, 1)], use_bias=True,
+                        dtype=self.dtype, name="weight_conv2")(y)
+        else:
+            y = nn.Conv(self.features, (1, 1), use_bias=True,
+                        dtype=self.dtype, name="weight_conv2")(y)
+        return y
+
+
+class RCNet(nn.Module):
+    """reference RadarEncoder.py:77-109.
+
+    Returns (s8, s16, s32) features with widths[1..3]//4 channels.
+    """
+    phi: str = "S0"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
+        widths = WIDTHS[self.phi]
+        # block layout per reference ctor lines 84-94:
+        #   i=0: (in -> w0/4, down), (w0/4 -> w0/4, down)
+        #   i>0: (w[i-1]/4 -> w[i-1]/4), (w[i-1]/4 -> w[i]/4, down)
+        specs = []
+        for i in range(4):
+            if i == 0:
+                specs.append((widths[0] // 4, True))
+                specs.append((widths[0] // 4, True))
+            else:
+                specs.append((widths[i - 1] // 4, False))
+                specs.append((widths[i] // 4, True))
+        outs = []
+        for i, (feat, down) in enumerate(specs):
+            x = RCBlock(feat, down=down, dtype=self.dtype,
+                        name=f"rc_block_{i}")(x, train)
+            if i > 1 and i % 2 == 1:    # taps after blocks 3, 5, 7 (line 103)
+                outs.append(x)
+        return tuple(outs)
