@@ -1,0 +1,188 @@
+"""Train state and the jitted multi-task train step.
+
+Replaces the reference's fit_one_epoch inner loop (utils/utils_fit.py:15-203)
+with one pure SPMD-friendly function: forward (4 tasks) -> losses (SimOTA det,
+focal/CE+dice seg x2, NLL pc) -> uncertainty-weighted total -> grads -> SGD ->
+EMA.  BatchNorm statistics are computed over the GLOBAL (sharded) batch axis —
+under GSPMD the cross-device mean IS sync-BN (reference train.py:404-407).
+
+Deliberate fixes vs the reference (SURVEY.md §7 "parity trivia"):
+  * HUncertainty log_vars are persistent trainable parameters
+    (fresh-per-step in the reference, utils_fit.py:99,145 — never trained);
+  * the pc NLL consumes the model's log-probs once (double log-softmax over
+    the wrong dim at utils_fit.py:125);
+  * layer-scale/temperature params are actually trained (the reference's
+    param grouping at train.py:500-513 silently drops any parameter not
+    named .weight/.bias from the optimizer).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from achelous_tpu.core.config import AchelousConfig
+from achelous_tpu.losses.detection import YoloXLoss
+from achelous_tpu.losses.multitask import uncertainty_weighted
+from achelous_tpu.losses.segmentation import (ce_loss, dice_loss, focal_loss,
+                                              pc_nll_loss)
+from achelous_tpu.train.ema import ema_update
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Mirrors the reference train.py flags (train.py:35-57)."""
+    batch_size: int = 32
+    epochs: int = 100
+    lr_init: float = 0.03
+    lr_decay: str = "cos"            # cos | step
+    optimizer: str = "sgd"           # sgd | adam
+    momentum: float = 0.937
+    weight_decay: float = 5e-4
+    focal: bool = True
+    dice: bool = True
+    ema_decay: float = 0.9999
+    ema_tau: float = 2000.0
+    max_gt: int = 50                 # GT padding for static SimOTA shapes
+    mtl: str = "uncertainty"         # uncertainty | sum | mgda | cagrad
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    log_vars: jnp.ndarray            # 3-task uncertainty weights
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any
+    ema_batch_stats: Any
+    ema_updates: jnp.ndarray
+
+
+def _wd_mask(params):
+    """Decay only >=2D kernels (conv/dense); BN/LN scales, biases and
+    layer-scale vectors are exempt (reference train.py:499-513 intent)."""
+    return jax.tree_util.tree_map(lambda p: p.ndim >= 2, params)
+
+
+def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+    if tcfg.optimizer == "sgd":
+        opt = optax.chain(
+            optax.add_decayed_weights(
+                tcfg.weight_decay,
+                mask=lambda g: {"model": _wd_mask(g["model"]),
+                                "log_vars": False}),
+            optax.sgd(learning_rate=1.0, momentum=tcfg.momentum,
+                      nesterov=True),
+        )
+    else:
+        opt = optax.chain(
+            optax.scale_by_adam(b1=tcfg.momentum, b2=0.999),
+            optax.scale(-1.0),
+        )
+    # lr is injected per-step via scale_by_learning_rate on a state field
+    return opt
+
+
+def create_train_state(model, cfg: AchelousConfig, tcfg: TrainConfig,
+                       rng, sample_inputs) -> TrainState:
+    variables = jax.jit(partial(model.init, train=False))(rng, *sample_inputs)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt = make_optimizer(tcfg)
+    trainable = {"model": params, "log_vars": jnp.zeros(3, jnp.float32)}
+    opt_state = opt.init(trainable)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        log_vars=jnp.zeros(3, jnp.float32), batch_stats=batch_stats,
+        opt_state=opt_state, ema_params=params, ema_batch_stats=batch_stats,
+        ema_updates=jnp.zeros((), jnp.int32))
+
+
+def compute_losses(cfg: AchelousConfig, tcfg: TrainConfig, det_loss_fn,
+                   outputs, batch):
+    det, sem, lane, pc = outputs
+    loss_det = det_loss_fn(det, batch["gt_boxes"], batch["gt_classes"],
+                           batch["gt_mask"])
+    seg_fn = focal_loss if tcfg.focal else ce_loss
+    loss_seg = seg_fn(sem, batch["seg_labels"], None, cfg.num_seg)
+    loss_wl = seg_fn(lane, batch["wl_labels"], None, 2)
+    if tcfg.dice:
+        loss_seg = loss_seg + dice_loss(sem, batch["seg_onehot"])
+        loss_wl = loss_wl + dice_loss(lane, batch["wl_onehot"])
+    loss_pc = pc_nll_loss(pc, batch["pc_labels"])
+    return loss_seg, loss_wl, loss_det, loss_pc
+
+
+def make_train_step(model, cfg: AchelousConfig, tcfg: TrainConfig
+                    ) -> Callable[[TrainState, dict, jnp.ndarray],
+                                  tuple[TrainState, dict]]:
+    """Returns train_step(state, batch, lr) -> (state, metrics).
+
+    batch keys: image [B,H,W,3], radar [B,H,W,3], pc [B,N,C],
+    gt_boxes [B,G,4] (cxcywh pixels), gt_classes [B,G], gt_mask [B,G],
+    seg_labels [B,H,W] int (ignore=num_seg), seg_onehot [B,H,W,num_seg+1],
+    wl_labels [B,H,W], wl_onehot [B,H,W,3], pc_labels [B,N].
+    """
+    det_loss_fn = YoloXLoss(cfg.num_det)
+    opt = make_optimizer(tcfg)
+
+    def loss_fn(trainable, batch_stats, batch):
+        outputs, mutated = model.apply(
+            {"params": trainable["model"], "batch_stats": batch_stats},
+            batch["image"], batch["radar"], batch["pc"], train=True,
+            mutable=["batch_stats", "intermediates"])
+        loss_seg, loss_wl, loss_det, loss_pc = compute_losses(
+            cfg, tcfg, det_loss_fn, outputs, batch)
+        if tcfg.mtl == "uncertainty":
+            total = uncertainty_weighted(
+                [loss_seg, loss_wl, loss_det], trainable["log_vars"]) + loss_pc
+        else:   # plain sum (the reference fp16 3-task branch, utils_fit.py:152)
+            total = loss_seg + loss_wl + loss_det + loss_pc
+        metrics = {"loss": total, "loss_det": loss_det, "loss_seg": loss_seg,
+                   "loss_wl": loss_wl, "loss_pc": loss_pc}
+        return total, (mutated["batch_stats"], metrics)
+
+    def train_step(state: TrainState, batch: dict, lr: jnp.ndarray):
+        trainable = {"model": state.params, "log_vars": state.log_vars}
+        grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(
+            trainable, state.batch_stats, batch)
+        updates, new_opt = opt.update(grads, state.opt_state, trainable)
+        # the optimizer is built with lr=1.0; apply the per-epoch lr here
+        updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
+        new_trainable = optax.apply_updates(trainable, updates)
+        upd = state.ema_updates + 1
+        new_state = state.replace(
+            step=state.step + 1, params=new_trainable["model"],
+            log_vars=new_trainable["log_vars"], batch_stats=new_bs,
+            opt_state=new_opt,
+            ema_params=ema_update(state.ema_params, new_trainable["model"],
+                                  upd, tcfg.ema_decay, tcfg.ema_tau),
+            ema_batch_stats=ema_update(state.ema_batch_stats, new_bs, upd,
+                                       tcfg.ema_decay, tcfg.ema_tau),
+            ema_updates=upd)
+        metrics["lr"] = lr
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, cfg: AchelousConfig, tcfg: TrainConfig):
+    """Validation losses with frozen BN (reference utils_fit.py:216-309)."""
+    det_loss_fn = YoloXLoss(cfg.num_det)
+
+    def eval_step(state: TrainState, batch: dict):
+        outputs = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["image"], batch["radar"], batch["pc"], train=False)
+        loss_seg, loss_wl, loss_det, loss_pc = compute_losses(
+            cfg, tcfg, det_loss_fn, outputs, batch)
+        return {"loss": loss_seg + loss_wl + loss_det + loss_pc,
+                "loss_det": loss_det, "loss_seg": loss_seg,
+                "loss_wl": loss_wl, "loss_pc": loss_pc}
+
+    return eval_step

@@ -1,0 +1,86 @@
+"""End-to-end train-step tests: losses decrease-able, EMA tracks, and the
+full step compiles + runs sharded over an 8-device virtual mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from achelous_tpu.core.config import AchelousConfig
+from achelous_tpu.data.synthetic import synthetic_batch
+from achelous_tpu.models.achelous import create_model, example_inputs
+from achelous_tpu.parallel.mesh import (make_mesh, replicate_state,
+                                        shard_batch)
+from achelous_tpu.train.schedule import get_lr_scheduler, scale_lr
+from achelous_tpu.train.train_state import (TrainConfig, create_train_state,
+                                            make_eval_step, make_train_step)
+
+
+def small_cfg():
+    return AchelousConfig(phi="S0", backbone="en", neck="gdf", resolution=64)
+
+
+def test_train_step_updates_and_metrics():
+    cfg = small_cfg()
+    tcfg = TrainConfig(max_gt=8)
+    model = create_model(cfg)
+    state = create_train_state(model, cfg, tcfg, jax.random.PRNGKey(0),
+                               example_inputs(cfg, 2))
+    step = jax.jit(make_train_step(model, cfg, tcfg))
+    batch = jax.tree_util.tree_map(jnp.asarray,
+                                   synthetic_batch(cfg, 2, tcfg.max_gt))
+    s1, m1 = step(state, batch, jnp.float32(0.01))
+    s2, m2 = step(s1, batch, jnp.float32(0.01))
+    for k in ("loss", "loss_det", "loss_seg", "loss_wl", "loss_pc"):
+        assert np.isfinite(float(m1[k])), k
+    assert int(s2.step) == 2
+    # params actually moved
+    d = jax.tree_util.tree_reduce(
+        lambda a, l: a + float(jnp.abs(l).sum()),
+        jax.tree_util.tree_map(jnp.subtract, s2.params, state.params), 0.0)
+    assert d > 0
+    # EMA tracks but lags
+    de = jax.tree_util.tree_reduce(
+        lambda a, l: a + float(jnp.abs(l).sum()),
+        jax.tree_util.tree_map(jnp.subtract, s2.ema_params, state.params), 0.0)
+    assert 0 < de < d
+    # log_vars receive gradient (persistent-HUncertainty fix)
+    assert float(jnp.abs(s2.log_vars).sum()) > 0
+
+
+def test_train_step_on_8_device_mesh():
+    assert len(jax.devices()) >= 8
+    cfg = small_cfg()
+    tcfg = TrainConfig(max_gt=8)
+    model = create_model(cfg)
+    state = create_train_state(model, cfg, tcfg, jax.random.PRNGKey(0),
+                               example_inputs(cfg, 2))
+    mesh = make_mesh(8)
+    state = replicate_state(state, mesh)
+    batch = shard_batch(synthetic_batch(cfg, 16, tcfg.max_gt), mesh)
+    step = jax.jit(make_train_step(model, cfg, tcfg))
+    s1, m1 = step(state, batch, jnp.float32(0.01))
+    assert np.isfinite(float(m1["loss"]))
+    # grads were all-reduced: params stay replicated
+    leaf = jax.tree_util.tree_leaves(s1.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_eval_step_runs():
+    cfg = small_cfg()
+    tcfg = TrainConfig(max_gt=8)
+    model = create_model(cfg)
+    state = create_train_state(model, cfg, tcfg, jax.random.PRNGKey(0),
+                               example_inputs(cfg, 2))
+    ev = jax.jit(make_eval_step(model, cfg, tcfg))
+    m = ev(state, jax.tree_util.tree_map(jnp.asarray,
+                                         synthetic_batch(cfg, 2, tcfg.max_gt)))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_lr_schedule_matches_reference_shape():
+    f = get_lr_scheduler("cos", 0.01, 0.0001, 100)
+    assert f(0) == pytest.approx(0.001, rel=1e-6)       # warmup start
+    assert f(100) == pytest.approx(0.0001, rel=1e-6)    # tail floor
+    assert f(3) == pytest.approx(0.01) and f(10) < f(4)
+    init, mn = scale_lr(0.03, 32, "sgd")
+    assert init == pytest.approx(0.015)
