@@ -1,0 +1,186 @@
+"""Inference wrapper — the reference's `achelous` class + predict.py modes.
+
+reference achelous.py:116-655 (detect_image :182-449, detect_heatmap
+:451-555, get_map_txt :595) and predict.py:23-141.  One jitted program runs
+forward + decode + NMS + seg softmax; letterbox unmapping and drawing stay on
+host.  The radar map is min-max normalized at predict time only
+(achelous.py:212 — the train path feeds raw maps), reproduced here.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from achelous_tpu.core.config import AchelousConfig
+from achelous_tpu.data.waterscenes import (PC_FEATURES, SPLAT_FEATURES,
+                                           letterbox, load_radar_csv,
+                                           preprocess_image,
+                                           resample_pointcloud)
+from achelous_tpu.models.achelous import create_model
+from achelous_tpu.ops.postprocess import (decode_outputs, non_max_suppression,
+                                          yolo_correct_boxes)
+from achelous_tpu.ops.radar_splat import minmax_normalize, splat_radar_fast
+
+# WaterScenes benchmark classes (model_data/waterscenes_benchmark.txt)
+DEFAULT_CLASS_NAMES = ("pier", "buoy", "sailor", "ship", "boat", "vessel",
+                       "kayak")
+
+
+class AchelousPredictor:
+    """Jitted end-to-end inference for one Achelous config."""
+
+    def __init__(self, cfg: AchelousConfig, variables: Optional[dict] = None,
+                 confidence: float = 0.35, nms_iou: float = 0.35,
+                 max_det: int = 100, class_names=DEFAULT_CLASS_NAMES,
+                 rng_seed: int = 0):
+        self.cfg = cfg
+        self.confidence = confidence
+        self.nms_iou = nms_iou
+        self.class_names = class_names
+        self.model = create_model(cfg)
+        if variables is None:
+            r = cfg.resolution
+            variables = jax.jit(self.model.init)(
+                jax.random.PRNGKey(rng_seed),
+                jnp.zeros((1, r, r, cfg.image_channels), cfg.dtype),
+                jnp.zeros((1, r, r, cfg.radar_channels), cfg.dtype),
+                jnp.zeros((1, cfg.pc_points, cfg.pc_channels), cfg.dtype))
+        self.variables = variables
+        r = cfg.resolution
+
+        @jax.jit
+        def _infer(variables, image, radar, pc):
+            det, sem, lane, pcseg = self.model.apply(variables, image, radar,
+                                                     pc, train=False)
+            decoded = decode_outputs(det, (r, r))
+            dets = non_max_suppression(decoded, cfg.num_det, confidence,
+                                       nms_iou, max_det)
+            sem_prob = jax.nn.softmax(sem.astype(jnp.float32), -1)
+            lane_prob = jax.nn.softmax(lane.astype(jnp.float32), -1)
+            return dets, sem_prob, lane_prob, pcseg, det
+
+        self._infer = _infer
+
+    # -- input preparation ---------------------------------------------------
+    def prepare_image(self, pil_image):
+        img_l, _, _ = letterbox(pil_image.convert("RGB"),
+                                (self.cfg.resolution, self.cfg.resolution))
+        x = preprocess_image(np.asarray(img_l))
+        return jnp.asarray(x, self.cfg.dtype)[None]
+
+    def prepare_radar(self, npz_path: Optional[str] = None,
+                      csv_path: Optional[str] = None):
+        cfg = self.cfg
+        if npz_path and os.path.exists(npz_path):
+            m = np.load(npz_path)["arr_0"].astype(np.float32)
+            m = np.transpose(m, (1, 2, 0))
+        elif csv_path and os.path.exists(csv_path):
+            pts = load_radar_csv(csv_path, SPLAT_FEATURES)
+            pad = np.zeros((max(0, cfg.pc_points - len(pts)), 5), np.float32)
+            pts = np.concatenate([pts[:cfg.pc_points], pad])
+            valid = np.arange(cfg.pc_points) < min(len(pts), cfg.pc_points)
+            m = np.asarray(splat_radar_fast(jnp.asarray(pts),
+                                            jnp.asarray(valid),
+                                            resolution=cfg.resolution))
+        else:
+            m = np.zeros((cfg.resolution, cfg.resolution, cfg.radar_channels),
+                         np.float32)
+        m = np.asarray(minmax_normalize(jnp.asarray(m)))  # predict-only norm
+        return jnp.asarray(m, cfg.dtype)[None]
+
+    def prepare_pointcloud(self, csv_path: Optional[str]):
+        cfg = self.cfg
+        if csv_path and os.path.exists(csv_path):
+            feats = load_radar_csv(csv_path, PC_FEATURES)
+            pc, _ = resample_pointcloud(feats, None, cfg.pc_points,
+                                        np.random.RandomState(0))
+        else:
+            pc = np.zeros((cfg.pc_points, cfg.pc_channels), np.float32)
+        return jnp.asarray(pc, cfg.dtype)[None]
+
+    # -- main entry ----------------------------------------------------------
+    def detect(self, pil_image, radar_npz: Optional[str] = None,
+               radar_csv: Optional[str] = None) -> Dict:
+        """Full 5-task inference on one PIL image; returns host-side results
+        in original-image coordinates (reference detect_image,
+        achelous.py:182-449)."""
+        cfg = self.cfg
+        iw, ih = pil_image.size
+        image = self.prepare_image(pil_image)
+        radar = self.prepare_radar(radar_npz, radar_csv)
+        pc = self.prepare_pointcloud(radar_csv)
+        dets, sem_prob, lane_prob, pcseg, _ = self._infer(
+            self.variables, image, radar, pc)
+
+        valid = np.asarray(dets.valid[0])
+        boxes_n = np.asarray(dets.boxes[0])[valid]
+        scores = (np.asarray(dets.obj_conf[0]) *
+                  np.asarray(dets.cls_conf[0]))[valid]
+        classes = np.asarray(dets.cls_idx[0])[valid]
+        boxes = yolo_correct_boxes(boxes_n, (cfg.resolution, cfg.resolution),
+                                   (ih, iw), True) if len(boxes_n) else \
+            np.zeros((0, 4), np.float32)
+
+        sem = self._unletterbox_mask(np.asarray(sem_prob[0]), (ih, iw))
+        lane = self._unletterbox_mask(np.asarray(lane_prob[0]), (ih, iw))
+        sem_cls = sem.argmax(-1)
+        # drivable-area extraction: keep only class 8 (achelous.py:297)
+        drivable = np.where(sem_cls == 8, sem_cls, 0)
+        return {"boxes": boxes, "scores": scores, "classes": classes,
+                "semantic": sem_cls, "drivable": drivable,
+                "waterline": lane.argmax(-1),
+                "pc_pred": np.asarray(pcseg[0]).argmax(-1)}
+
+    def _unletterbox_mask(self, prob: np.ndarray, image_hw) -> np.ndarray:
+        """Crop gray bars and resize probabilities to the original image
+        (achelous.py:283-318)."""
+        r = self.cfg.resolution
+        ih, iw = image_hw
+        scale = min(r / ih, r / iw)
+        nh, nw = int(ih * scale), int(iw * scale)
+        top, left = (r - nh) // 2, (r - nw) // 2
+        crop = prob[top:top + nh, left:left + nw]
+        from achelous_tpu.ops.resize import resize_bilinear
+        out = resize_bilinear(jnp.asarray(crop)[None], (ih, iw),
+                              align_corners=False)[0]
+        return np.asarray(out)
+
+    def detect_heatmap(self, pil_image, radar_npz=None, radar_csv=None):
+        """Per-level max(sigmoid(cls)) * sigmoid(obj) score maps, max-composited
+        at input resolution (reference detect_heatmap, achelous.py:451-555)."""
+        image = self.prepare_image(pil_image)
+        radar = self.prepare_radar(radar_npz, radar_csv)
+        pc = self.prepare_pointcloud(radar_csv)
+        *_, det_maps = self._infer(self.variables, image, radar, pc)
+        r = self.cfg.resolution
+        from achelous_tpu.ops.resize import resize_bilinear
+        composite = jnp.zeros((r, r))
+        for m in det_maps:
+            m = m.astype(jnp.float32)
+            score = (jax.nn.sigmoid(m[0, ..., 5:]).max(-1) *
+                     jax.nn.sigmoid(m[0, ..., 4]))
+            up = resize_bilinear(score[None, ..., None], (r, r),
+                                 align_corners=False)[0, ..., 0]
+            composite = jnp.maximum(composite, up)
+        return np.asarray(composite)
+
+
+def export_stablehlo(predictor: AchelousPredictor, path: str) -> str:
+    """Serialize the jitted inference function via jax.export — the TPU-native
+    replacement for the reference's ONNX export (achelous.py:557-593)."""
+    from jax import export as jexport
+    cfg = predictor.cfg
+    r = cfg.resolution
+    args = (jnp.zeros((1, r, r, cfg.image_channels), cfg.dtype),
+            jnp.zeros((1, r, r, cfg.radar_channels), cfg.dtype),
+            jnp.zeros((1, cfg.pc_points, cfg.pc_channels), cfg.dtype))
+    fn = lambda i, rd, p: predictor._infer(predictor.variables, i, rd, p)
+    exported = jexport.export(jax.jit(fn))(*args)
+    data = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(data)
+    return path

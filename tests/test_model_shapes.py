@@ -90,3 +90,15 @@ def test_param_dtype_is_float32_with_bf16_compute():
     leaves = jax.tree_util.tree_leaves(variables["params"])
     assert all(l.dtype == jnp.float32 for l in leaves)
     assert det[0].dtype == jnp.bfloat16
+
+
+@pytest.mark.parametrize("backbone,neck", [("mo", "rdf"), ("fv", "rdf"),
+                                           ("mv", "gdf"), ("ef", "gdf"),
+                                           ("ev", "cdf"), ("pf", "gdf"),
+                                           ("rv", "gdf")])
+def test_full_model_all_backbones(backbone, neck):
+    cfg = AchelousConfig(phi="S0", backbone=backbone, neck=neck,
+                         resolution=64)
+    _, (det, sem, lane, pc) = _init_and_apply(cfg)
+    assert det[0].shape[-1] == 5 + cfg.num_det
+    assert sem.shape[-1] == cfg.num_seg
