@@ -49,7 +49,10 @@ def letterbox(image: "PIL.Image.Image", input_shape: tuple[int, int],
     h, w = input_shape
     scale = min(w / iw, h / ih)
     nw, nh = int(iw * scale), int(ih * scale)
-    resized = image.resize((nw, nh), resample or Image.BICUBIC)
+    # NB: Image.NEAREST == 0, so `resample or BICUBIC` would silently
+    # bicubic-resample label masks
+    resized = image.resize((nw, nh),
+                           Image.BICUBIC if resample is None else resample)
     canvas = Image.new(image.mode if image.mode != "1" else "L",
                        (w, h), fill if image.mode == "RGB" else 0)
     dx, dy = (w - nw) // 2, (h - nh) // 2
@@ -58,7 +61,21 @@ def letterbox(image: "PIL.Image.Image", input_shape: tuple[int, int],
 
 
 def load_radar_csv(path: str, columns: Sequence[str]) -> np.ndarray:
-    """Read the named columns of a radar CSV into [N, len(columns)]."""
+    """Read the named columns of a radar CSV into [N, len(columns)].
+
+    Uses the native parser (native/dataio.cpp) when built; csv fallback.
+    """
+    from achelous_tpu.data import native
+    if native.available():
+        with open(path) as f:
+            header = f.readline().strip().split(",")
+        try:
+            idx = [header.index(c) for c in columns]
+        except ValueError:
+            return np.zeros((0, len(columns)), np.float32)
+        out = native.parse_radar_csv_native(path, idx)
+        if out is not None:
+            return out
     with open(path, newline="") as f:
         reader = csv.DictReader(f)
         rows = [[float(r[c]) for c in columns] for r in reader]
@@ -122,12 +139,19 @@ class WaterScenesDataset:
         parts = line.split()
         name = self._name(line)
 
+        from achelous_tpu.data import native
         image = Image.open(parts[0])
         if image.mode != "RGB":
             image = image.convert("RGB")
         iw, ih = image.size
-        img_l, scale, (dx, dy) = letterbox(image, (r, r))
-        img = preprocess_image(np.asarray(img_l))
+        scale = min(r / iw, r / ih)
+        dx, dy = (r - int(iw * scale)) // 2, (r - int(ih * scale)) // 2
+        img = None
+        if native.available():
+            img = native.letterbox_image_native(np.asarray(image), r)
+        if img is None:
+            img_l, scale, (dx, dy) = letterbox(image, (r, r))
+            img = preprocess_image(np.asarray(img_l))
 
         # boxes: xyxy pixel -> letterboxed -> cxcywh (dataloader.py:218-231,
         # 109-110)
@@ -150,10 +174,14 @@ class WaterScenesDataset:
         def load_mask(d, clip_max):
             p = os.path.join(d, name + ".png")
             if os.path.exists(p):
-                m = Image.open(p)
+                m = Image.open(p).convert("L")
             else:  # synthesize black (utils_seg_line/utils.py:7-12)
                 m = Image.new("L", (iw, ih), 0)
-            m, _, _ = letterbox(m.convert("L"), (r, r), resample=Image.NEAREST)
+            if native.available():
+                arr = native.letterbox_mask_native(np.asarray(m), r, clip_max)
+                if arr is not None:
+                    return arr
+            m, _, _ = letterbox(m, (r, r), resample=Image.NEAREST)
             arr = np.asarray(m).copy().astype(np.int32)
             arr[arr >= clip_max] = clip_max
             return arr

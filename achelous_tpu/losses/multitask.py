@@ -90,12 +90,13 @@ def cagrad_combine(task_grads: jnp.ndarray, c: float = 0.4,
     """
     t, _ = task_grads.shape
     gg = task_grads @ task_grads.T                    # [T, T]
+    gg = gg.astype(jnp.float32)
     g0_norm = jnp.sqrt(jnp.maximum(jnp.mean(gg), 0.0)) + 1e-8
     phi = (c * g0_norm) ** 2
     b = jnp.mean(gg, axis=1)                          # <g_i, g0>
 
     def obj_grad(w):
-        gwsq = w @ gg @ w
+        gwsq = jnp.maximum(w @ gg @ w, 0.0)
         return b + jnp.sqrt(phi) * (gg @ w) / (jnp.sqrt(gwsq) + 1e-8)
 
     def body(i, w):

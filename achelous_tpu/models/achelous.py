@@ -110,10 +110,17 @@ class Achelous(nn.Module):
 
         if not self.with_pc:
             return det, sem, lane
-        pc_out, trans_feat = PointNetSeg(num_classes=cfg.pc_classes,
-                                         dtype=cfg.dtype,
-                                         name="pc_seg")(point_cloud, train)
-        self.sow("intermediates", "pc_trans_feat", trans_feat)
+        if cfg.pc_model == "pn2":
+            from achelous_tpu.models.pointnet2 import PointNet2Seg
+            pc_out, trans_feat = PointNet2Seg(num_classes=cfg.pc_classes,
+                                              dtype=cfg.dtype,
+                                              name="pc_seg")(point_cloud, train)
+        else:
+            pc_out, trans_feat = PointNetSeg(num_classes=cfg.pc_classes,
+                                             dtype=cfg.dtype,
+                                             name="pc_seg")(point_cloud, train)
+        if trans_feat is not None:
+            self.sow("intermediates", "pc_trans_feat", trans_feat)
         return det, sem, lane, pc_out
 
 

@@ -173,6 +173,12 @@ def export_stablehlo(predictor: AchelousPredictor, path: str) -> str:
     """Serialize the jitted inference function via jax.export — the TPU-native
     replacement for the reference's ONNX export (achelous.py:557-593)."""
     from jax import export as jexport
+    from achelous_tpu.ops.postprocess import Detections
+    try:
+        jexport.register_namedtuple_serialization(
+            Detections, serialized_name="achelous_tpu.Detections")
+    except ValueError:
+        pass  # already registered
     cfg = predictor.cfg
     r = cfg.resolution
     args = (jnp.zeros((1, r, r, cfg.image_channels), cfg.dtype),

@@ -1,0 +1,121 @@
+"""Prediction CLI — the reference's predict.py mode switch (predict.py:23-141).
+
+Modes: predict (single image), dir_predict, heatmap, export (StableHLO).
+  python -m achelous_tpu.predict_cli --mode predict --image img.jpg \\
+      --radar_csv r.csv --ckpt logs/ckpt/best_epoch_weights
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Achelous-TPU predictor")
+    p.add_argument("--mode", default="predict",
+                   choices=["predict", "dir_predict", "heatmap", "export"])
+    p.add_argument("--backbone", default="en")
+    p.add_argument("--neck", default="gdf")
+    p.add_argument("--phi", default="S0")
+    p.add_argument("--pc_model", default="pn")
+    p.add_argument("--resolution", type=int, default=320)
+    p.add_argument("--confidence", type=float, default=0.35)
+    p.add_argument("--nms_iou", type=float, default=0.35)
+    p.add_argument("--image", default="")
+    p.add_argument("--image_dir", default="")
+    p.add_argument("--radar_npz", default="")
+    p.add_argument("--radar_csv", default="")
+    p.add_argument("--ckpt", default="", help="orbax checkpoint to load")
+    p.add_argument("--out", default="export_results")
+    return p
+
+
+def load_predictor(args):
+    import jax
+    import jax.numpy as jnp
+
+    from achelous_tpu.core.config import AchelousConfig
+    from achelous_tpu.predict import AchelousPredictor
+    cfg = AchelousConfig(backbone=args.backbone, neck=args.neck, phi=args.phi,
+                         pc_model=args.pc_model, resolution=args.resolution,
+                         dtype=jnp.bfloat16)
+    variables = None
+    if args.ckpt:
+        from achelous_tpu.models.achelous import create_model, example_inputs
+        from achelous_tpu.train.checkpoints import CheckpointManager
+        from achelous_tpu.train.train_state import (TrainConfig,
+                                                    create_train_state)
+        model = create_model(cfg)
+        tmpl = create_train_state(model, cfg, TrainConfig(),
+                                  jax.random.PRNGKey(0),
+                                  example_inputs(cfg, 1))
+        state = CheckpointManager(os.path.dirname(args.ckpt)).restore(
+            os.path.basename(args.ckpt), tmpl)
+        variables = {"params": state.ema_params,
+                     "batch_stats": state.ema_batch_stats}
+    return AchelousPredictor(cfg, variables, args.confidence, args.nms_iou)
+
+
+def run_one(pred, args, image_path, out_dir):
+    from PIL import Image
+    import numpy as np
+    img = Image.open(image_path)
+    r = pred.detect(img, radar_npz=args.radar_npz or None,
+                    radar_csv=args.radar_csv or None)
+    os.makedirs(out_dir, exist_ok=True)
+    stem = os.path.splitext(os.path.basename(image_path))[0]
+    summary = {
+        "image": image_path,
+        "num_detections": int(len(r["boxes"])),
+        "detections": [
+            {"box": b.tolist(), "score": float(s),
+             "class": pred.class_names[int(c)] if int(c) < len(pred.class_names)
+             else int(c)}
+            for b, s, c in zip(r["boxes"], r["scores"], r["classes"])],
+        "drivable_pixels": int((r["drivable"] == 8).sum()),
+        "waterline_pixels": int((r["waterline"] > 0).sum()),
+    }
+    with open(os.path.join(out_dir, stem + ".json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    np.savez_compressed(os.path.join(out_dir, stem + "_masks.npz"),
+                        semantic=r["semantic"].astype(np.uint8),
+                        waterline=r["waterline"].astype(np.uint8))
+    from achelous_tpu.visualize import render_detection
+    render_detection(img, r, pred.class_names).save(
+        os.path.join(out_dir, stem + "_vis.jpg"))
+    print(json.dumps({k: v for k, v in summary.items()
+                      if k != "detections"}))
+    return summary
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    pred = load_predictor(args)
+    if args.mode == "predict":
+        run_one(pred, args, args.image, args.out)
+    elif args.mode == "dir_predict":
+        for name in sorted(os.listdir(args.image_dir)):
+            if name.lower().endswith((".jpg", ".jpeg", ".png")):
+                run_one(pred, args, os.path.join(args.image_dir, name),
+                        args.out)
+    elif args.mode == "heatmap":
+        from PIL import Image
+        import numpy as np
+        hm = pred.detect_heatmap(Image.open(args.image),
+                                 radar_npz=args.radar_npz or None,
+                                 radar_csv=args.radar_csv or None)
+        os.makedirs(args.out, exist_ok=True)
+        out = os.path.join(args.out, "heatmap.npy")
+        np.save(out, hm)
+        print(json.dumps({"heatmap": out, "max": float(hm.max())}))
+    elif args.mode == "export":
+        from achelous_tpu.predict import export_stablehlo
+        os.makedirs(args.out, exist_ok=True)
+        path = export_stablehlo(pred, os.path.join(args.out, "achelous.shlo"))
+        print(json.dumps({"exported": path,
+                          "bytes": os.path.getsize(path)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,205 @@
+"""Training orchestration: epoch loop, loss history, online eval callbacks.
+
+Replaces reference train.py:637-703 + utils/utils_fit.py:15-381 + the four
+eval callbacks (utils/callbacks.py:222-293, utils_seg/callbacks.py:194-248,
+utils_seg_line/callbacks.py, utils_seg_pc/callbacks.py:177-237): one loop,
+one jitted train step, metrics computed in memory (no txt/png exchange).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from achelous_tpu.core.config import AchelousConfig
+from achelous_tpu.data.waterscenes import WaterScenesDataset, collate
+from achelous_tpu.ops.postprocess import decode_outputs, non_max_suppression
+from achelous_tpu.ops.radar_splat import splat_radar_fast
+from achelous_tpu.train.checkpoints import CheckpointManager
+from achelous_tpu.train.schedule import get_lr_scheduler, scale_lr
+from achelous_tpu.train.train_state import (TrainConfig, TrainState,
+                                            create_train_state,
+                                            make_eval_step, make_train_step)
+from achelous_tpu.utils.metrics import (compute_det_metrics, compute_miou,
+                                        fast_hist, pc_mean_iou)
+
+
+class LossHistory:
+    """txt-appending loss log (reference utils/callbacks.py:21-83, one
+    instance covered all four streams here)."""
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+        os.makedirs(log_dir, exist_ok=True)
+        self.records: List[dict] = []
+
+    def append(self, epoch: int, **metrics):
+        rec = {"epoch": epoch, **{k: float(v) for k, v in metrics.items()}}
+        self.records.append(rec)
+        with open(os.path.join(self.log_dir, "history.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        self.plot()
+
+    def plot(self):
+        """Loss-curve png (reference utils/callbacks.py:56-83, savgol
+        smoothing replaced by a simple running mean)."""
+        if len(self.records) < 2:
+            return
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return
+        epochs = [r["epoch"] for r in self.records]
+        fig, ax = plt.subplots(figsize=(7, 4))
+        for key, color in (("loss", "red"), ("val_loss", "coral")):
+            ys = [r.get(key) for r in self.records]
+            if any(y is not None for y in ys):
+                ax.plot(epochs, ys, color=color, label=key, linewidth=2)
+        ax.set_xlabel("epoch"); ax.set_ylabel("loss")
+        ax.grid(True); ax.legend()
+        fig.savefig(os.path.join(self.log_dir, "epoch_loss.png"),
+                    bbox_inches="tight")
+        plt.close(fig)
+
+
+def batches_from(dataset: WaterScenesDataset, cfg: AchelousConfig,
+                 batch_size: int, max_gt: int, shuffle: bool,
+                 rng: np.random.RandomState) -> Iterable[dict]:
+    idx = np.arange(len(dataset))
+    if shuffle:
+        rng.shuffle(idx)
+    for s in range(0, len(idx) - batch_size + 1, batch_size):
+        samples = [dataset[i] for i in idx[s:s + batch_size]]
+        yield collate(samples, cfg, max_gt)
+
+
+def device_batch(batch: dict, cfg: AchelousConfig) -> dict:
+    """Host batch -> device arrays; splat radar points on device if the
+    batch carries raw points instead of pre-rasterized maps."""
+    out = {k: jnp.asarray(v) for k, v in batch.items()
+           if k not in ("radar_points", "radar_points_valid")}
+    if "radar" not in out:
+        out["radar"] = jax.vmap(
+            lambda p, v: splat_radar_fast(p, v, resolution=cfg.resolution))(
+            jnp.asarray(batch["radar_points"]),
+            jnp.asarray(batch["radar_points_valid"]))
+    return out
+
+
+def evaluate_epoch(model, cfg: AchelousConfig, state: TrainState,
+                   dataset: WaterScenesDataset, batch_size: int = 8,
+                   conf_thres: float = 0.02, nms_thres: float = 0.5,
+                   use_ema: bool = True) -> dict:
+    """Online eval: det mAP + semantic/waterline mIoU + pc mIoU over a val
+    set (the reference's four EvalCallbacks, computed in memory)."""
+    params = state.ema_params if use_ema else state.params
+    stats = state.ema_batch_stats if use_ema else state.batch_stats
+    r = cfg.resolution
+
+    @jax.jit
+    def infer(batch):
+        det, sem, lane, pc = model.apply(
+            {"params": params, "batch_stats": stats},
+            batch["image"], batch["radar"], batch["pc"], train=False)
+        decoded = decode_outputs(det, (r, r))
+        dets = non_max_suppression(decoded, cfg.num_det, conf_thres,
+                                   nms_thres)
+        return dets, jnp.argmax(sem, -1), jnp.argmax(lane, -1), \
+            jnp.argmax(pc, -1)
+
+    all_dets, all_gts = [], []
+    sem_hist = np.zeros((cfg.num_seg, cfg.num_seg), np.int64)
+    wl_hist = np.zeros((2, 2), np.int64)
+    pc_conf = np.zeros((cfg.pc_classes, cfg.pc_classes), np.int64)
+    rng = np.random.RandomState(0)
+    for batch in batches_from(dataset, cfg, batch_size, 50, False, rng):
+        db = device_batch(batch, cfg)
+        dets, sem_pred, wl_pred, pc_pred = jax.device_get(infer(db))
+        for i in range(len(batch["image"])):
+            v = dets.valid[i]
+            boxes = dets.boxes[i][v] * r          # pixel scale for matching
+            all_dets.append({
+                "boxes": boxes,
+                "scores": (dets.obj_conf[i] * dets.cls_conf[i])[v],
+                "classes": dets.cls_idx[i][v]})
+            gm = batch["gt_mask"][i]
+            gb = batch["gt_boxes"][i][gm]
+            gt_xyxy = np.concatenate([gb[:, :2] - gb[:, 2:] / 2,
+                                      gb[:, :2] + gb[:, 2:] / 2], -1)
+            all_gts.append({"boxes": gt_xyxy,
+                            "classes": batch["gt_classes"][i][gm]})
+            sem_hist += fast_hist(batch["seg_labels"][i].flatten(),
+                                  sem_pred[i].flatten(), cfg.num_seg)
+            wl_hist += fast_hist(np.minimum(batch["wl_labels"][i], 1).flatten(),
+                                 wl_pred[i].flatten(), 2)
+            pc_conf += fast_hist(batch["pc_labels"][i].flatten(),
+                                 pc_pred[i].flatten(), cfg.pc_classes)
+    det_m = compute_det_metrics(all_dets, all_gts, cfg.num_det)
+    from achelous_tpu.utils.metrics import per_class_iu
+    return {**det_m,
+            "miou_sem": float(np.nanmean(per_class_iu(sem_hist))),
+            "miou_wl": float(np.nanmean(per_class_iu(wl_hist))),
+            "miou_pc": pc_mean_iou(pc_conf)}
+
+
+def fit(model, cfg: AchelousConfig, tcfg: TrainConfig,
+        train_ds: WaterScenesDataset, val_ds: Optional[WaterScenesDataset],
+        log_dir: str = "logs", epochs: Optional[int] = None,
+        eval_period: int = 10, save_period: int = 10,
+        state: Optional[TrainState] = None, seed: int = 0,
+        progress: Callable[[str], None] = print) -> TrainState:
+    """Full training run (reference train.py:637-703 + fit_one_epoch)."""
+    from achelous_tpu.models.achelous import example_inputs
+    epochs = epochs or tcfg.epochs
+    if state is None:
+        state = create_train_state(model, cfg, tcfg, jax.random.PRNGKey(seed),
+                                   example_inputs(cfg, 2))
+    init_lr, min_lr = scale_lr(tcfg.lr_init, tcfg.batch_size, tcfg.optimizer)
+    lr_fn = get_lr_scheduler(tcfg.lr_decay, init_lr, min_lr, epochs)
+    train_step = jax.jit(make_train_step(model, cfg, tcfg))
+    eval_step = jax.jit(make_eval_step(model, cfg, tcfg))
+    history = LossHistory(log_dir)
+    ckpt = CheckpointManager(os.path.join(log_dir, "ckpt"))
+    rng = np.random.RandomState(seed)
+
+    for epoch in range(int(state.step) // max(len(train_ds) // tcfg.batch_size, 1),
+                       epochs):
+        lr = jnp.float32(lr_fn(epoch))
+        t0 = time.time()
+        tr_metrics, n_b = None, 0
+        freeze = jnp.asarray(epoch < tcfg.freeze_epochs)
+        for batch in batches_from(train_ds, cfg, tcfg.batch_size, tcfg.max_gt,
+                                  True, rng):
+            state, m = train_step(state, device_batch(batch, cfg), lr, freeze)
+            tr_metrics = m if tr_metrics is None else \
+                jax.tree_util.tree_map(jnp.add, tr_metrics, m)
+            n_b += 1
+        tr = {k: float(v) / max(n_b, 1) for k, v in (tr_metrics or {}).items()}
+
+        val = {}
+        if val_ds is not None:
+            vm, n_v = None, 0
+            for batch in batches_from(val_ds, cfg, tcfg.batch_size,
+                                      tcfg.max_gt, False, rng):
+                m = eval_step(state, device_batch(batch, cfg))
+                vm = m if vm is None else jax.tree_util.tree_map(jnp.add, vm, m)
+                n_v += 1
+            val = {f"val_{k}": float(v) / max(n_v, 1) for k, v in (vm or {}).items()}
+            if (epoch + 1) % eval_period == 0 or epoch == epochs - 1:
+                val.update(evaluate_epoch(model, cfg, state, val_ds,
+                                          batch_size=tcfg.batch_size))
+        history.append(epoch, **{"lr": float(lr), **tr, **val})
+        ckpt.save_epoch(epoch, state, tr.get("loss", 0.0),
+                        val.get("val_loss", tr.get("loss", 0.0)), save_period)
+        progress(f"epoch {epoch + 1}/{epochs} "
+                 f"loss={tr.get('loss', float('nan')):.3f} "
+                 f"val={val.get('val_loss', float('nan')):.3f} "
+                 f"({time.time() - t0:.1f}s)")
+    return state

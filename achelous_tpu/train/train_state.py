@@ -23,6 +23,7 @@ from typing import Any, Callable, Optional
 
 import flax
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import optax
 
@@ -50,6 +51,9 @@ class TrainConfig:
     ema_tau: float = 2000.0
     max_gt: int = 50                 # GT padding for static SimOTA shapes
     mtl: str = "uncertainty"         # uncertainty | sum | mgda | cagrad
+    freeze_epochs: int = 0           # freeze the vision backbone for the
+                                     # first N epochs (reference Freeze_Train,
+                                     # train.py:478-480)
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -147,13 +151,65 @@ def make_train_step(model, cfg: AchelousConfig, tcfg: TrainConfig
                    "loss_wl": loss_wl, "loss_pc": loss_pc}
         return total, (mutated["batch_stats"], metrics)
 
-    def train_step(state: TrainState, batch: dict, lr: jnp.ndarray):
+    def surgery_grads(trainable, batch_stats, batch):
+        """Per-task grads combined by MGDA / CAGrad (reference loss/mgda.py,
+        loss/CAGrad.py — pure-JAX solvers, see losses/multitask.py).
+
+        One forward, 4 pullbacks via jacrev over the stacked task losses.
+        """
+        from achelous_tpu.losses.multitask import (cagrad_combine,
+                                                   mgda_combine)
+
+        def stacked_losses(tr):
+            outputs, mutated = model.apply(
+                {"params": tr["model"], "batch_stats": batch_stats},
+                batch["image"], batch["radar"], batch["pc"], train=True,
+                mutable=["batch_stats", "intermediates"])
+            ls, lw, ld, lp = compute_losses(cfg, tcfg, det_loss_fn, outputs,
+                                            batch)
+            losses = jnp.stack([ls, lw, ld, lp])
+            return losses, (mutated["batch_stats"],
+                            {"loss": jnp.sum(losses), "loss_det": ld,
+                             "loss_seg": ls, "loss_wl": lw, "loss_pc": lp})
+
+        # one forward, four unrolled pullbacks (jax.vjp). NB: jacrev's
+        # vmapped pullback produces NaN grads on the TPU backend in bf16;
+        # the unrolled form is numerically identical to 4x jax.grad.
+        losses_out, vjp_fn, (new_bs, metrics) = jax.vjp(
+            stacked_losses, trainable, has_aux=True)
+        rows = []
+        for i in range(4):
+            ct = jnp.zeros(4, losses_out.dtype).at[i].set(1.0)
+            g_i = vjp_fn(ct)[0]["model"]
+            flat_i, unravel = jax.flatten_util.ravel_pytree(g_i)
+            rows.append(flat_i)
+        task_grads = jnp.stack(rows)
+        losses = jnp.stack([metrics["loss_seg"], metrics["loss_wl"],
+                            metrics["loss_det"], metrics["loss_pc"]])
+        if tcfg.mtl == "mgda":
+            combined = mgda_combine(task_grads, "l2", losses)
+        else:
+            combined = cagrad_combine(task_grads)
+        grads = {"model": unravel(combined),
+                 "log_vars": jnp.zeros_like(trainable["log_vars"])}
+        return grads, (new_bs, metrics)
+
+    def train_step(state: TrainState, batch: dict, lr: jnp.ndarray,
+                   freeze_backbone: jnp.ndarray | bool = False):
         trainable = {"model": state.params, "log_vars": state.log_vars}
-        grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(
-            trainable, state.batch_stats, batch)
+        if tcfg.mtl in ("mgda", "cagrad"):
+            grads, (new_bs, metrics) = surgery_grads(trainable,
+                                                     state.batch_stats, batch)
+        else:
+            grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(
+                trainable, state.batch_stats, batch)
         updates, new_opt = opt.update(grads, state.opt_state, trainable)
         # the optimizer is built with lr=1.0; apply the per-epoch lr here
         updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
+        if "backbone" in updates["model"]:
+            gate = 1.0 - jnp.asarray(freeze_backbone, jnp.float32)
+            updates["model"]["backbone"] = jax.tree_util.tree_map(
+                lambda u: u * gate, updates["model"]["backbone"])
         new_trainable = optax.apply_updates(trainable, updates)
         upd = state.ema_updates + 1
         new_state = state.replace(

@@ -84,3 +84,42 @@ def test_lr_schedule_matches_reference_shape():
     assert f(3) == pytest.approx(0.01) and f(10) < f(4)
     init, mn = scale_lr(0.03, 32, "sgd")
     assert init == pytest.approx(0.015)
+
+
+@pytest.mark.parametrize("mtl", ["mgda", "cagrad"])
+def test_grad_surgery_modes(mtl):
+    cfg = small_cfg()
+    tcfg = TrainConfig(max_gt=8, mtl=mtl)
+    model = create_model(cfg)
+    state = create_train_state(model, cfg, tcfg, jax.random.PRNGKey(0),
+                               example_inputs(cfg, 2))
+    step = jax.jit(make_train_step(model, cfg, tcfg))
+    batch = jax.tree_util.tree_map(jnp.asarray,
+                                   synthetic_batch(cfg, 2, tcfg.max_gt))
+    s1, m1 = step(state, batch, jnp.float32(0.01))
+    assert np.isfinite(float(m1["loss"]))
+    d = jax.tree_util.tree_reduce(
+        lambda a, l: a + float(jnp.abs(l).sum()),
+        jax.tree_util.tree_map(jnp.subtract, s1.params, state.params), 0.0)
+    assert d > 0
+
+
+def test_freeze_backbone_blocks_updates():
+    cfg = small_cfg()
+    tcfg = TrainConfig(max_gt=8, freeze_epochs=1)
+    model = create_model(cfg)
+    state = create_train_state(model, cfg, tcfg, jax.random.PRNGKey(0),
+                               example_inputs(cfg, 2))
+    step = jax.jit(make_train_step(model, cfg, tcfg))
+    batch = jax.tree_util.tree_map(jnp.asarray,
+                                   synthetic_batch(cfg, 2, tcfg.max_gt))
+    s1, _ = step(state, batch, jnp.float32(0.01), jnp.asarray(True))
+    d_bb = jax.tree_util.tree_reduce(
+        lambda a, l: a + float(jnp.abs(l).sum()),
+        jax.tree_util.tree_map(jnp.subtract, s1.params["backbone"],
+                               state.params["backbone"]), 0.0)
+    d_head = jax.tree_util.tree_reduce(
+        lambda a, l: a + float(jnp.abs(l).sum()),
+        jax.tree_util.tree_map(jnp.subtract, s1.params["det_head"],
+                               state.params["det_head"]), 0.0)
+    assert d_bb == 0.0 and d_head > 0.0
