@@ -71,6 +71,9 @@ class AchelousConfig:
         if self.neck == "rdf" and self.backbone not in ("mo", "fv"):
             raise ValueError("rdf neck only supports 'mo'/'fv' backbones "
                              "(reference neck/repdualfpn.py:53-69)")
+        if self.phi == "L" and self.backbone != "ef":
+            raise ValueError("only EfficientFormerV2 supports the L size "
+                             "(reference neck/ghostdualfpn.py:96-98)")
         if self.resolution % 32 != 0:
             raise ValueError("resolution must be a multiple of 32")
         if self.num_seg > 31:
