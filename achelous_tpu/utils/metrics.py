@@ -82,6 +82,24 @@ def box_iou_xyxy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return inter / np.maximum(area_a[:, None] + area_b[None] - inter, 1e-12)
 
 
+def log_average_miss_rate(precision: np.ndarray, fp_cumsum: np.ndarray,
+                          num_images: int):
+    """LAMR averaged at 9 log-spaced FPPI points in [1e-2, 1e0]
+    (reference utils/utils_map.py:31-67)."""
+    if precision.size == 0:
+        return 0.0, 1.0, 0.0
+    fppi = fp_cumsum / float(num_images)
+    mr = 1.0 - precision
+    fppi_tmp = np.insert(fppi, 0, -1.0)
+    mr_tmp = np.insert(mr, 0, 1.0)
+    ref = np.logspace(-2.0, 0.0, num=9)
+    for i, r in enumerate(ref):
+        j = np.where(fppi_tmp <= r)[0][-1]
+        ref[i] = mr_tmp[j]
+    lamr = float(np.exp(np.mean(np.log(np.maximum(1e-10, ref)))))
+    return lamr, mr, fppi
+
+
 def voc_ap(rec: np.ndarray, prec: np.ndarray) -> float:
     """Continuous VOC AP (reference utils/utils_map.py:95-150)."""
     mrec = np.concatenate([[0.0], rec, [1.0]])

@@ -67,3 +67,34 @@ def test_fast_hist_ignores_out_of_range():
     b = np.array([0, 1, 1])
     h = fast_hist(a, b, 3)
     assert h.sum() == 2 and h[0, 0] == 1 and h[1, 1] == 1
+
+
+def test_log_average_miss_rate():
+    from achelous_tpu.utils.metrics import log_average_miss_rate
+    # perfect detector: precision 1 everywhere, no FPs -> lamr ~ miss rate 0
+    prec = np.array([1.0, 1.0, 1.0])
+    fp = np.array([0.0, 0.0, 0.0])
+    lamr, mr, fppi = log_average_miss_rate(prec, fp, 10)
+    assert lamr < 1e-5
+    lamr0, mr0, fppi0 = log_average_miss_rate(np.array([]), np.array([]), 10)
+    assert lamr0 == 0.0 and mr0 == 1.0
+
+
+def test_pc_projection_roundtrip(tmp_path):
+    from achelous_tpu.utils.pc_projection import (
+        get_camera_projection_matrix, get_t_camera_radar,
+        project_pcl_to_image)
+    calib = tmp_path / "calib"
+    calib.mkdir()
+    # identity extrinsic, f=100 pinhole at (320, 240)
+    t = np.eye(4, dtype=np.float32).reshape(-1)
+    p = np.array([[100, 0, 320, 0], [0, 100, 240, 0], [0, 0, 1, 0]],
+                 np.float32).reshape(-1)
+    (calib / "f1.txt").write_text(
+        "T: " + " ".join(map(str, t)) + "\n" +
+        "P: " + " ".join(map(str, p)) + "\n")
+    T = get_t_camera_radar(str(tmp_path), "f1")
+    P = get_camera_projection_matrix(str(tmp_path), "f1")
+    xyz = np.array([[0.0, 0.0, 10.0], [1.0, 2.0, 10.0]], np.float32)
+    uv = project_pcl_to_image(xyz, T, P)
+    np.testing.assert_array_equal(uv, [[320, 240], [330, 260]])
