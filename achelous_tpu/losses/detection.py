@@ -196,7 +196,9 @@ class YoloXLoss:
         # logits left raw for the BCE-with-logits terms.
         xy = (flat[..., :2] + jnp.stack([jnp.asarray(x_c_np),
                                          jnp.asarray(y_c_np)], -1)) * s[:, None]
-        wh = jnp.exp(flat[..., 2:4]) * s[:, None]
+        # clamp wh logits so a transient divergence cannot emit inf boxes and
+        # poison the whole loss with NaNs (exp(20) * 32 ~ 1.5e10 px already)
+        wh = jnp.exp(jnp.minimum(flat[..., 2:4], 20.0)) * s[:, None]
         boxes = jnp.concatenate([xy, wh], -1)                # [B, A, 4]
         obj_logits = flat[..., 4]
         cls_logits = flat[..., 5:]

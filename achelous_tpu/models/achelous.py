@@ -28,9 +28,12 @@ from achelous_tpu.ops.primitives import ECA
 Dtype = Any
 
 
-def make_backbone(cfg: AchelousConfig, name: str = "backbone"):
+def make_backbone(cfg: AchelousConfig, name: str = "backbone",
+                  deploy: bool = False):
     """Vision-backbone registry keyed by the reference's --backbone axis."""
     kw = dict(dtype=cfg.dtype, name=name)
+    if cfg.backbone in ("rv", "mo", "fv"):   # reparameterizable families
+        kw["deploy"] = deploy
     if cfg.backbone == "en":
         return EDGENEXT_VARIANTS[cfg.phi](**kw)
     if cfg.backbone == "mv":
@@ -88,7 +91,7 @@ class Achelous(nn.Module):
     @nn.compact
     def __call__(self, image, radar_map, point_cloud=None, train: bool = False):
         cfg = self.cfg
-        backbone = make_backbone(cfg)
+        backbone = make_backbone(cfg, deploy=self.deploy)
         feats = backbone(image, train=train)
 
         sem, lane, det_img = DualFPN(num_seg=cfg.num_seg, phi=cfg.phi,

@@ -36,12 +36,30 @@ class AchelousPredictor:
     def __init__(self, cfg: AchelousConfig, variables: Optional[dict] = None,
                  confidence: float = 0.35, nms_iou: float = 0.35,
                  max_det: int = 100, class_names=DEFAULT_CLASS_NAMES,
-                 rng_seed: int = 0):
+                 rng_seed: int = 0, deploy: bool = False):
+        """`deploy=True` folds all reparameterizable blocks (RepVGG /
+        MobileOne / RepMixer / ...) into single convs before compiling — the
+        reference's eval-time reparameterize path (utils/callbacks.py:150-160,
+        nets/Achelous.py:86-95) as a pure param transform."""
         self.cfg = cfg
         self.confidence = confidence
         self.nms_iou = nms_iou
         self.class_names = class_names
-        self.model = create_model(cfg)
+        self.model = create_model(cfg, deploy=deploy)
+        if deploy and variables is not None:
+            from achelous_tpu.core.reparam import reparameterize
+            variables = reparameterize(variables)
+        if variables is None and deploy:
+            # init the train-form model, then fold — matches real usage
+            train_model = create_model(cfg, deploy=False)
+            r = cfg.resolution
+            tv = jax.jit(train_model.init)(
+                jax.random.PRNGKey(rng_seed),
+                jnp.zeros((1, r, r, cfg.image_channels), cfg.dtype),
+                jnp.zeros((1, r, r, cfg.radar_channels), cfg.dtype),
+                jnp.zeros((1, cfg.pc_points, cfg.pc_channels), cfg.dtype))
+            from achelous_tpu.core.reparam import reparameterize
+            variables = reparameterize(tv)
         if variables is None:
             r = cfg.resolution
             variables = jax.jit(self.model.init)(
@@ -80,9 +98,10 @@ class AchelousPredictor:
             m = np.transpose(m, (1, 2, 0))
         elif csv_path and os.path.exists(csv_path):
             pts = load_radar_csv(csv_path, SPLAT_FEATURES)
-            pad = np.zeros((max(0, cfg.pc_points - len(pts)), 5), np.float32)
-            pts = np.concatenate([pts[:cfg.pc_points], pad])
-            valid = np.arange(cfg.pc_points) < min(len(pts), cfg.pc_points)
+            n_real = min(len(pts), cfg.pc_points)
+            pad = np.zeros((cfg.pc_points - n_real, 5), np.float32)
+            pts = np.concatenate([pts[:n_real], pad])
+            valid = np.arange(cfg.pc_points) < n_real
             m = np.asarray(splat_radar_fast(jnp.asarray(pts),
                                             jnp.asarray(valid),
                                             resolution=cfg.resolution))

@@ -27,6 +27,8 @@ def build_parser():
     p.add_argument("--radar_npz", default="")
     p.add_argument("--radar_csv", default="")
     p.add_argument("--ckpt", default="", help="orbax checkpoint to load")
+    p.add_argument("--deploy", action="store_true",
+                   help="fold reparameterizable blocks before compiling")
     p.add_argument("--out", default="export_results")
     return p
 
@@ -54,7 +56,8 @@ def load_predictor(args):
             os.path.basename(args.ckpt), tmpl)
         variables = {"params": state.ema_params,
                      "batch_stats": state.ema_batch_stats}
-    return AchelousPredictor(cfg, variables, args.confidence, args.nms_iou)
+    return AchelousPredictor(cfg, variables, args.confidence,
+                             args.nms_iou, deploy=args.deploy)
 
 
 def run_one(pred, args, image_path, out_dir):

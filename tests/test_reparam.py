@@ -85,3 +85,29 @@ def test_full_mobileone_backbone_reparam():
     x = jax.random.normal(jax.random.PRNGKey(6), (1, 64, 64, 3))
     _check(lambda deploy: MobileOne(phi="S0", deploy=deploy), x,
            atol=5e-3, rtol=1e-3)
+
+
+def test_full_achelous_rdf_reparam():
+    """Full MO-RDF-PN model: train-form fold -> deploy-form equivalence."""
+    import jax.numpy as jnp
+    from achelous_tpu.core.config import AchelousConfig
+    from achelous_tpu.models.achelous import create_model, example_inputs
+
+    cfg = AchelousConfig(phi="S0", backbone="mo", neck="rdf", resolution=64)
+    inputs = example_inputs(cfg, 1)
+    train_m = create_model(cfg, deploy=False)
+    variables = jax.jit(train_m.init)(jax.random.PRNGKey(0), *inputs)
+    want = jax.jit(lambda v, *a: train_m.apply(v, *a))(variables, *inputs)
+
+    deploy_vars = reparameterize(
+        {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})})
+    deploy_m = create_model(cfg, deploy=True)
+    ref = jax.eval_shape(deploy_m.init, jax.random.PRNGKey(0), *inputs)
+    assert jax.tree_util.tree_structure(ref["params"]) == \
+        jax.tree_util.tree_structure(deploy_vars["params"])
+    got = jax.jit(lambda v, *a: deploy_m.apply(v, *a))(deploy_vars, *inputs)
+    for g, w in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-2,
+                                   rtol=1e-3)
