@@ -15,6 +15,8 @@ from __future__ import annotations
 from typing import Any, Tuple
 
 import flax.linen as nn
+
+from achelous_tpu.ops.norm import F32BatchNorm
 import jax.numpy as jnp
 
 from achelous_tpu.core.config import AchelousConfig, WIDTHS
@@ -73,7 +75,7 @@ class IRFusion(nn.Module):
             a = ECA(dtype=self.dtype, name=f"eca_img_{i}")(fi)
             b = ECA(dtype=self.dtype, name=f"eca_radar_{i}")(fr)
             x = jnp.concatenate([a, b], axis=-1)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            x = F32BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,
                              name=f"norm_{i}")(x)
             fused.append(nn.relu(x))

@@ -11,6 +11,8 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+
+from achelous_tpu.ops.norm import F32BatchNorm
 import jax
 import jax.numpy as jnp
 
@@ -78,14 +80,14 @@ class LocalAgg(nn.Module):
                       feature_group_count=d, dtype=self.dtype,
                       name="pos_embed")(x)
         x = x + pos
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        y = F32BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         y = nn.Conv(d, (1, 1), dtype=self.dtype, name="conv1")(y)
         y = nn.Conv(d, (5, 5), padding=[(2, 2), (2, 2)],
                     feature_group_count=d, dtype=self.dtype, name="attn")(y)
         y = nn.Conv(d, (1, 1), dtype=self.dtype, name="conv2")(y)
         x = x + y
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        y = F32BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Conv(int(d * self.mlp_ratio), (1, 1), dtype=self.dtype,
                     name="mlp_fc1")(y)
@@ -170,7 +172,7 @@ class EdgeViT(nn.Module):
                 x = LGLBlock(self.embed_dim[i], heads[i], self.sr_ratios[i],
                              self.mlp_ratio, dtype=self.dtype,
                              name=f"blocks{i + 1}_{j}")(x, train)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = F32BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         feats.append(x)
         return tuple(feats)

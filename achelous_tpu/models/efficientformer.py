@@ -16,6 +16,8 @@ import math
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
+
+from achelous_tpu.ops.norm import F32BatchNorm
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -78,7 +80,7 @@ def _conv_bn(x, feats, k, stride, groups, mod, train, name, use_bias=True):
     x = nn.Conv(feats, (k, k), strides=stride, padding=[(p, p), (p, p)],
                 feature_group_count=groups, use_bias=use_bias,
                 dtype=mod.dtype, name=f"{name}_conv")(x)
-    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+    return F32BatchNorm(use_running_average=not train, momentum=0.9,
                         epsilon=1e-5, dtype=mod.dtype, name=f"{name}_bn")(x)
 
 
@@ -284,7 +286,7 @@ class EfficientFormerV2(nn.Module):
                             use_pallas=self.use_pallas_attention,
                             dtype=self.dtype,
                             name=f"stage{i}_block{j}")(x, train)
-            out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            out = F32BatchNorm(use_running_average=not train, momentum=0.9,
                                epsilon=1e-5, dtype=self.dtype,
                                name=f"norm_out{i}")(x)
             feats.append(out)

@@ -11,6 +11,8 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
+
+from achelous_tpu.ops.norm import F32BatchNorm
 import jax
 import jax.numpy as jnp
 
@@ -20,7 +22,7 @@ Dtype = Any
 
 
 def _bn(x, mod, train, name):
-    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+    return F32BatchNorm(use_running_average=not train, momentum=0.9,
                         epsilon=1e-5, dtype=mod.dtype, name=name)(x)
 
 

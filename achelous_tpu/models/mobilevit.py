@@ -11,6 +11,8 @@ from __future__ import annotations
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
+
+from achelous_tpu.ops.norm import F32BatchNorm
 import jax
 import jax.numpy as jnp
 
@@ -22,7 +24,7 @@ def _conv_bn_silu(x, feats, k, stride, name_prefix, mod, train):
     x = nn.Conv(feats, (k, k), strides=stride, padding=[(p, p), (p, p)],
                 use_bias=False, dtype=mod.dtype,
                 name=f"{name_prefix}_conv")(x)
-    x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+    x = F32BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                      dtype=mod.dtype, name=f"{name_prefix}_bn")(x)
     return jax.nn.silu(x)
 
@@ -45,12 +47,12 @@ class MV2Block(nn.Module):
         y = nn.Conv(hidden, (3, 3), strides=self.stride,
                     padding=[(1, 1), (1, 1)], feature_group_count=hidden,
                     use_bias=False, dtype=self.dtype, name="dw_conv")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        y = F32BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="dw_bn")(y)
         y = jax.nn.silu(y)
         y = nn.Conv(self.oup, (1, 1), use_bias=False, dtype=self.dtype,
                     name="pwl_conv")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        y = F32BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="pwl_bn")(y)
         if self.stride == 1 and inp == self.oup:
             y = y + res

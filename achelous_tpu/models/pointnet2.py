@@ -17,6 +17,8 @@ from __future__ import annotations
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
+
+from achelous_tpu.ops.norm import F32BatchNorm
 import jax
 import jax.numpy as jnp
 
@@ -28,7 +30,7 @@ Dtype = Any
 
 def _mlp_bn_relu(x, feats, name, train, dtype):
     x = nn.Dense(feats, dtype=dtype, name=f"{name}_dense")(x)
-    x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+    x = F32BatchNorm(use_running_average=not train, momentum=0.9,
                      epsilon=1e-5, dtype=dtype, name=f"{name}_bn")(x)
     return nn.relu(x)
 

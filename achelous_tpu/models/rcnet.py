@@ -11,6 +11,8 @@ from __future__ import annotations
 from typing import Any, Tuple
 
 import flax.linen as nn
+
+from achelous_tpu.ops.norm import F32BatchNorm
 import jax.numpy as jnp
 
 from achelous_tpu.core.config import WIDTHS
@@ -47,7 +49,7 @@ class RCBlock(nn.Module):
         y = RadarConv(cin, dtype=self.dtype, name="radar_conv")(x)
         y = nn.Conv(cin, (1, 1), use_bias=True, dtype=self.dtype,
                     name="weight_conv1")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        y = F32BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="norm")(y)
         y = nn.relu(y)
         y = res + y

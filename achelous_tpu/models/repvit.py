@@ -11,6 +11,8 @@ from __future__ import annotations
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
+
+from achelous_tpu.ops.norm import F32BatchNorm
 import jax
 import jax.numpy as jnp
 
@@ -24,7 +26,7 @@ def _conv_bn(x, feats, k, stride, groups, mod, train, name,
                 feature_group_count=groups, use_bias=False, dtype=mod.dtype,
                 name=f"{name}_c")(x)
     scale_init = nn.initializers.zeros if bn_init_zero else nn.initializers.ones
-    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+    return F32BatchNorm(use_running_average=not train, momentum=0.9,
                         epsilon=1e-5, scale_init=scale_init, dtype=mod.dtype,
                         name=f"{name}_bn")(x)
 

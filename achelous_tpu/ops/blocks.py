@@ -13,6 +13,8 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+
+from achelous_tpu.ops.norm import F32BatchNorm
 import jax
 import jax.numpy as jnp
 
@@ -94,18 +96,18 @@ class RepVGGBlock(nn.Module):
                         padding=[(1, 1), (1, 1)],
                         feature_group_count=self.groups, use_bias=False,
                         dtype=self.dtype, name="rbr_dense_conv")(x)
-        dense = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        dense = F32BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,
                              name="rbr_dense_bn")(dense)
         one = nn.Conv(self.features, (1, 1), strides=self.stride,
                       feature_group_count=self.groups, use_bias=False,
                       dtype=self.dtype, name="rbr_1x1_conv")(x)
-        one = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        one = F32BatchNorm(use_running_average=not train, momentum=0.9,
                            epsilon=1e-5, dtype=self.dtype,
                            name="rbr_1x1_bn")(one)
         y = dense + one
         if cin == self.features and self.stride == 1:
-            ident = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            ident = F32BatchNorm(use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, dtype=self.dtype,
                                  name="rbr_identity")(x)
             y = y + ident

@@ -12,6 +12,8 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+
+from achelous_tpu.ops.norm import F32BatchNorm
 import jax
 import jax.numpy as jnp
 
@@ -69,13 +71,13 @@ class MobileOneBlock(nn.Module):
                         padding=[(pp, pp), (pp, pp)],
                         feature_group_count=self.groups, use_bias=False,
                         dtype=self.dtype, name=f"{name}_conv")(x)
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            return F32BatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, dtype=self.dtype,
                                 name=f"{name}_bn")(y)
 
         out = 0.0
         if cin == self.features and self.stride == 1:
-            out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            out = F32BatchNorm(use_running_average=not train, momentum=0.9,
                                epsilon=1e-5, dtype=self.dtype,
                                name="rbr_skip")(x)
         if self.use_scale_branch and k > 1:

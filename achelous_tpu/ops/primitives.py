@@ -17,6 +17,8 @@ import math
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
+
+from achelous_tpu.ops.norm import F32BatchNorm
 import jax
 import jax.numpy as jnp
 
@@ -86,7 +88,7 @@ class ConvBN(nn.Module):
                         strides=self.stride, padding=[(p, p), (p, p)],
                         feature_group_count=self.groups, use_bias=self.use_bias,
                         dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
+        x = F32BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
                          epsilon=self.bn_eps, dtype=self.dtype, name="bn")(x)
         return act_fn(self.act)(x)
 
@@ -104,7 +106,7 @@ class YoloConv(nn.Module):
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=self.stride, padding=[(p, p), (p, p)],
                     use_bias=False, dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+        x = F32BatchNorm(use_running_average=not train, momentum=0.97,
                          epsilon=1e-3, dtype=self.dtype, name="bn")(x)
         return jax.nn.silu(x)
 
@@ -132,14 +134,14 @@ class GhostModule(nn.Module):
         x1 = nn.Conv(init_ch, (self.kernel_size, self.kernel_size),
                      strides=self.stride, padding=[(kp, kp), (kp, kp)],
                      use_bias=False, dtype=self.dtype, name="primary_conv")(x)
-        x1 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x1 = F32BatchNorm(use_running_average=not train, momentum=0.9,
                           epsilon=1e-5, dtype=self.dtype, name="primary_bn")(x1)
         x1 = act(x1)
         dp = self.dw_size // 2
         x2 = nn.Conv(new_ch, (self.dw_size, self.dw_size),
                      padding=[(dp, dp), (dp, dp)], feature_group_count=init_ch,
                      use_bias=False, dtype=self.dtype, name="cheap_conv")(x1)
-        x2 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x2 = F32BatchNorm(use_running_average=not train, momentum=0.9,
                           epsilon=1e-5, dtype=self.dtype, name="cheap_bn")(x2)
         x2 = act(x2)
         out = jnp.concatenate([x1, x2], axis=-1)
@@ -167,7 +169,7 @@ class GhostBottleneck(nn.Module):
                         strides=self.stride, padding=[(p, p), (p, p)],
                         feature_group_count=self.mid_chs, use_bias=False,
                         dtype=self.dtype, name="conv_dw")(y)
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            y = F32BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype, name="bn_dw")(y)
         y = GhostModule(self.out_chs, relu=False, dtype=self.dtype,
                         name="ghost2")(y, train)
@@ -178,11 +180,11 @@ class GhostBottleneck(nn.Module):
             sc = nn.Conv(in_chs, (self.dw_kernel_size,) * 2, strides=self.stride,
                          padding=[(p, p), (p, p)], feature_group_count=in_chs,
                          use_bias=False, dtype=self.dtype, name="shortcut_dw")(residual)
-            sc = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            sc = F32BatchNorm(use_running_average=not train, momentum=0.9,
                               epsilon=1e-5, dtype=self.dtype, name="shortcut_bn_dw")(sc)
             sc = nn.Conv(self.out_chs, (1, 1), use_bias=False, dtype=self.dtype,
                          name="shortcut_pw")(sc)
-            sc = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            sc = F32BatchNorm(use_running_average=not train, momentum=0.9,
                               epsilon=1e-5, dtype=self.dtype, name="shortcut_bn_pw")(sc)
         return y + sc
 

@@ -137,7 +137,8 @@ def evaluate_epoch(model, cfg: AchelousConfig, state: TrainState,
                             "classes": batch["gt_classes"][i][gm]})
             sem_hist += fast_hist(batch["seg_labels"][i].flatten(),
                                   sem_pred[i].flatten(), cfg.num_seg)
-            wl_hist += fast_hist(np.minimum(batch["wl_labels"][i], 1).flatten(),
+            # labels == 2 are the ignore class; fast_hist drops out-of-range
+            wl_hist += fast_hist(batch["wl_labels"][i].flatten(),
                                  wl_pred[i].flatten(), 2)
             pc_conf += fast_hist(batch["pc_labels"][i].flatten(),
                                  pc_pred[i].flatten(), cfg.pc_classes)

@@ -50,7 +50,14 @@ class TrainConfig:
     ema_decay: float = 0.9999
     ema_tau: float = 2000.0
     max_gt: int = 50                 # GT padding for static SimOTA shapes
-    mtl: str = "uncertainty"         # uncertainty | sum | mgda | cagrad
+    mtl: str = "sum"                 # sum | uncertainty | mgda | cagrad
+                                     # 'sum' matches the reference's effective
+                                     # behavior (its HUncertainty re-inits per
+                                     # step -> unit weights; and the fp16 path
+                                     # is a plain sum, utils_fit.py:152).
+                                     # 'uncertainty' (trained log_vars)
+                                     # down-weights the high-loss det task
+                                     # early - use once tasks are balanced.
     freeze_epochs: int = 0           # freeze the vision backbone for the
                                      # first N epochs (reference Freeze_Train,
                                      # train.py:478-480)

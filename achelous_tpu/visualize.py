@@ -57,3 +57,28 @@ def render_detection(image, result: Dict, class_names: Sequence[str],
                        fill=color)
         draw.text((x1 + 1, max(y1 - 12, 0)), label, fill=(0, 0, 0))
     return out
+
+
+PC_CLASS_COLORS = ["b", "g", "r", "m", "y", "orange", "violet", "peru"]
+
+
+def scatter_pointcloud(points_uv: np.ndarray, labels: np.ndarray,
+                       out_path: str, image=None):
+    """Radar point-cloud scatter colored by predicted class (reference
+    achelous.py:265-271 + radar_pc_cls_color, achelous.py:96)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 4.5))
+    if image is not None:
+        ax.imshow(image)
+    for c in range(len(PC_CLASS_COLORS)):
+        m = labels == c
+        if m.any():
+            ax.scatter(points_uv[m, 0], points_uv[m, 1], s=6,
+                       c=PC_CLASS_COLORS[c], label=f"class {c}")
+    ax.legend(loc="upper right", fontsize=6)
+    fig.savefig(out_path, bbox_inches="tight", dpi=120)
+    plt.close(fig)
+    return out_path

@@ -21,7 +21,7 @@ def small_cfg():
 
 def test_train_step_updates_and_metrics():
     cfg = small_cfg()
-    tcfg = TrainConfig(max_gt=8)
+    tcfg = TrainConfig(max_gt=8, mtl="uncertainty")
     model = create_model(cfg)
     state = create_train_state(model, cfg, tcfg, jax.random.PRNGKey(0),
                                example_inputs(cfg, 2))
