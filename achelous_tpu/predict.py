@@ -3,8 +3,9 @@
 reference achelous.py:116-655 (detect_image :182-449, detect_heatmap
 :451-555, get_map_txt :595) and predict.py:23-141.  One jitted program runs
 forward + decode + NMS + seg softmax; letterbox unmapping and drawing stay on
-host.  The radar map is min-max normalized at predict time only
-(achelous.py:212 — the train path feeds raw maps), reproduced here.
+host.  The reference min-max normalizes the radar map at predict time only
+(achelous.py:212 — its train path feeds raw maps); that inconsistency breaks
+detections of train-consistent checkpoints, so it is opt-in (`minmax_radar`).
 """
 from __future__ import annotations
 
@@ -36,7 +37,8 @@ class AchelousPredictor:
     def __init__(self, cfg: AchelousConfig, variables: Optional[dict] = None,
                  confidence: float = 0.35, nms_iou: float = 0.35,
                  max_det: int = 100, class_names=DEFAULT_CLASS_NAMES,
-                 rng_seed: int = 0, deploy: bool = False):
+                 rng_seed: int = 0, deploy: bool = False,
+                 minmax_radar: bool = False):
         """`deploy=True` folds all reparameterizable blocks (RepVGG /
         MobileOne / RepMixer / ...) into single convs before compiling — the
         reference's eval-time reparameterize path (utils/callbacks.py:150-160,
@@ -45,6 +47,11 @@ class AchelousPredictor:
         self.confidence = confidence
         self.nms_iou = nms_iou
         self.class_names = class_names
+        # The reference min-maxes the radar map at predict time only
+        # (achelous.py:212) while TRAINING feeds raw maps — an inconsistency
+        # that measurably destroys detections of a train-consistent model, so
+        # it is opt-in here (enable for strict reference-predict parity).
+        self.minmax_radar = minmax_radar
         self.model = create_model(cfg, deploy=deploy)
         if deploy and variables is not None:
             from achelous_tpu.core.reparam import reparameterize
@@ -108,7 +115,8 @@ class AchelousPredictor:
         else:
             m = np.zeros((cfg.resolution, cfg.resolution, cfg.radar_channels),
                          np.float32)
-        m = np.asarray(minmax_normalize(jnp.asarray(m)))  # predict-only norm
+        if self.minmax_radar:
+            m = np.asarray(minmax_normalize(jnp.asarray(m)))
         return jnp.asarray(m, cfg.dtype)[None]
 
     def prepare_pointcloud(self, csv_path: Optional[str]):
