@@ -7,8 +7,10 @@ pipeline.  Semantics match the reference at fp32 tolerance:
   decode: per-level (xy + grid) * stride, exp(wh) * stride, sigmoid(obj/cls),
           normalized to [0, 1] (utils_bbox.py:49,78-84)
   nms:    per-image max-class score, threshold obj*cls >= conf, then greedy
-          class-aware NMS (batched_nms's class-offset trick, suppress when
-          IoU > thresh), emitted in score order (utils_bbox.py:109-132)
+          class-aware NMS (batched_nms semantics via an explicit same-class
+          pair mask, suppress when IoU > thresh), emitted in score order
+          (utils_bbox.py:109-132); non-finite predictions are dropped and
+          box coords clipped to a fixed range before the IoU matrix
 
 The greedy loop is expressed as `max_det` argmax-emit-suppress steps over the
 full anchor set — each step is one [A]-wide vector op, which is far cheaper on
@@ -21,6 +23,11 @@ from typing import NamedTuple, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+# Fixed clip range for NMS candidate boxes (normalized coords are ~[0, 1];
+# anything beyond this is a diverged prediction being sanitized, not data).
+_BOX_CAP = 1e4
 
 
 def make_grids(hw: Sequence[Tuple[int, int]], input_h: float) -> tuple[np.ndarray, np.ndarray]:
@@ -51,7 +58,9 @@ def decode_outputs(outputs: Sequence[jnp.ndarray],
     grids = jnp.asarray(grids, flat.dtype)
     strides = jnp.asarray(strides, flat.dtype)
     xy = (flat[..., :2] + grids) * strides
-    wh = jnp.exp(flat[..., 2:4]) * strides
+    # clamp mirrors the loss path's exp-clamp (losses/detection.py) so one
+    # diverged logit can't produce inf boxes that poison downstream NMS
+    wh = jnp.exp(jnp.minimum(flat[..., 2:4], 20.0)) * strides
     scores = jax.nn.sigmoid(flat[..., 4:])
     norm = jnp.asarray([input_shape[1], input_shape[0],
                         input_shape[1], input_shape[0]], flat.dtype)
@@ -103,19 +112,27 @@ def nms_single(decoded: jnp.ndarray, num_classes: int, conf_thres: float,
     scores = obj * cls_conf
     live = scores >= conf_thres
 
+    live = live & jnp.all(jnp.isfinite(boxes), axis=-1)
+
     p = min(pre_nms_topk, decoded.shape[0])
     cand_scores, cand = jax.lax.top_k(jnp.where(live, scores, -1.0), p)
     cand_live = cand_scores >= jnp.maximum(conf_thres, 0.0)
-    cboxes = boxes[cand]
     ccls = cls_idx[cand]
+    # Clip candidate boxes to a fixed finite range: non-finite boxes are
+    # already dropped from `live` above, this guards merely-huge ones so a
+    # single diverged prediction can't skew the IoU matrix (the torchvision
+    # `cls * (boxes.max()+1)` offset trick is data-dependent and one inf box
+    # poisons every offset; we mask cross-class pairs explicitly instead,
+    # which is the exact batched_nms semantics with no precision loss).
+    cboxes = jnp.clip(jnp.nan_to_num(boxes[cand], nan=0.0, posinf=_BOX_CAP,
+                                     neginf=-_BOX_CAP), -_BOX_CAP, _BOX_CAP)
 
-    # class-offset trick: boxes of different classes never overlap
-    # (torchvision batched_nms: offsets = idxs * (boxes.max() + 1))
-    offset = (ccls.astype(jnp.float32) * (jnp.max(boxes) + 1.0))[:, None]
-    iou = _pairwise_iou(cboxes + offset)
-    # overlap[i, j]: candidate j (strictly higher rank) can suppress i
+    iou = _pairwise_iou(cboxes)
+    same_class = ccls[:, None] == ccls[None, :]
+    # overlap[i, j]: candidate j (strictly higher rank, same class) can
+    # suppress i
     rank = jnp.arange(p)
-    overlap = (iou > nms_thres) & (rank[None, :] < rank[:, None])
+    overlap = (iou > nms_thres) & same_class & (rank[None, :] < rank[:, None])
     overlap = overlap & cand_live[None, :] & cand_live[:, None]
 
     def body(state):

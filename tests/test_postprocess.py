@@ -105,6 +105,53 @@ def test_nms_empty_when_nothing_passes_threshold():
     assert not bool(np.asarray(dets.valid).any())
 
 
+def test_decode_clamps_exploded_wh():
+    # one diverged wh logit must not produce inf boxes (mirror of the loss
+    # path's exp-clamp at 20)
+    outs = [np.zeros((1, 4, 4, 12), np.float32)]
+    outs[0][0, 0, 0, 2:4] = 1e4
+    got = np.asarray(decode_outputs([jnp.asarray(outs[0])], (64, 64)))
+    assert np.all(np.isfinite(got))
+    assert got[0, 0, 2] <= np.exp(20.0) * 16 / 64 + 1
+
+
+def test_nms_survives_nan_inf_injection():
+    """One poisoned prediction must not corrupt the keep mask of sane ones
+    (the torchvision data-dependent class offset would go inf -> NaN IoU)."""
+    rng = np.random.RandomState(2)
+    num_classes, a = 7, 64
+    decoded = np.zeros((a, 5 + num_classes), np.float32)
+    decoded[:, 0:2] = rng.uniform(0.2, 0.8, (a, 2))
+    decoded[:, 2:4] = rng.uniform(0.05, 0.2, (a, 2))
+    decoded[:, 4] = rng.uniform(0.5, 1.0, a)
+    decoded[:, 5:] = rng.uniform(0.5, 1.0, (a, num_classes))
+
+    clean = non_max_suppression(jnp.asarray(decoded)[None], num_classes,
+                                0.3, 0.45, max_det=64)
+
+    poisoned = decoded.copy()
+    poisoned[0, 0] = np.nan          # NaN center
+    poisoned[1, 2] = np.inf          # inf width
+    poisoned[2, 4] = np.nan          # NaN objectness
+    dets = non_max_suppression(jnp.asarray(poisoned)[None], num_classes,
+                               0.3, 0.45, max_det=64)
+    valid = np.asarray(dets.valid[0])
+    assert np.all(np.isfinite(np.asarray(dets.boxes[0])[valid]))
+
+    # the sane subset must be kept identically to running without the
+    # poisoned rows at all
+    ref = non_max_suppression(jnp.asarray(decoded[3:])[None], num_classes,
+                              0.3, 0.45, max_det=64)
+    ref_valid = np.asarray(ref.valid[0])
+    clean_boxes = np.asarray(ref.boxes[0])[ref_valid]
+    got_boxes = np.asarray(dets.boxes[0])[valid]
+    # poisoned rows 0-2 are dropped (non-finite box or NaN score)
+    np.testing.assert_allclose(
+        np.sort(got_boxes, axis=0), np.sort(clean_boxes, axis=0),
+        rtol=1e-5, atol=1e-6)
+    del clean
+
+
 def test_yolo_correct_boxes_roundtrip():
     # a full-frame box on a letterboxed 16:9 image maps back to full frame
     img_shape = (1080, 1920)
