@@ -220,6 +220,34 @@ class WaterScenesDataset:
                 "radar_points_valid": radar_points_valid,
                 "pc": pc, "pc_labels": pc_labels, "name": name}
 
+    def original_masks(self, index: int):
+        """Original-resolution (un-letterboxed) seg + waterline label maps.
+
+        Resolution-faithful eval compares predictions resized back to the
+        native image size against these, exactly like the reference eval
+        (utils_seg/callbacks.py:169-186 reads the raw label pngs; its
+        fast_hist drops out-of-range labels, so clipping to the ignore index
+        here is equivalent).
+        """
+        from PIL import Image
+        line = self.lines[index % len(self.lines)]
+        name = self._name(line)
+        with Image.open(line.split()[0]) as im:
+            iw, ih = im.size
+
+        def load(d, clip_max):
+            p = os.path.join(d, name + ".png")
+            if os.path.exists(p):
+                m = Image.open(p).convert("L")
+            else:
+                m = Image.new("L", (iw, ih), 0)
+            arr = np.asarray(m).astype(np.int32).copy()
+            arr[arr >= clip_max] = clip_max
+            return arr
+
+        return (load(self.paths.semantic_dir, self.cfg.num_seg),
+                load(self.paths.waterline_dir, 2))
+
 
 def collate(samples: List[dict], cfg: AchelousConfig, max_gt: int = 50) -> dict:
     """Assemble the static-shape train batch (see make_train_step docs).

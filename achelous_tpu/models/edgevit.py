@@ -63,7 +63,9 @@ class GlobalSparseAttn(nn.Module):
             x = depthwise_conv_transpose(x, kernel.astype(x.dtype),
                                          bias.astype(x.dtype), sr)
             x = x.reshape(b, h * w, c)
-            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+            # plain nn.LayerNorm(dim) in the reference (edgevit.py:69) ->
+            # torch default eps 1e-5, unlike the blocks' 1e-6 norm_layer
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return nn.Dense(c, dtype=self.dtype, name="proj")(x)
 
 
@@ -159,7 +161,9 @@ class EdgeViT(nn.Module):
         def patch_embed(x, dim, patch, name):
             x = nn.Conv(dim, (patch, patch), strides=patch, padding="VALID",
                         dtype=self.dtype, name=f"{name}_proj")(x)
-            return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+            # PatchEmbed.norm is a plain nn.LayerNorm (edgevit.py:183) ->
+            # torch default eps 1e-5
+            return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                 name=f"{name}_norm")(x)
 
         feats = []

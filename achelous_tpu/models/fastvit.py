@@ -27,7 +27,13 @@ def _bn(x, mod, train, name):
 
 
 class ReparamLargeKernelConv(nn.Module):
-    """replknet.py:13-130: large-kernel conv+BN + small-kernel conv+BN, GELU."""
+    """replknet.py:13-130: large-kernel conv+BN + small-kernel conv+BN.
+
+    NB: the reference's forward calls ``self.activation(out)`` but DISCARDS
+    the result (replknet.py:88 — GELU is not in-place), so the block is
+    effectively linear.  Reproduced here so transplanted reference weights
+    forward identically.
+    """
     features: int
     kernel_size: int
     stride: int
@@ -41,11 +47,10 @@ class ReparamLargeKernelConv(nn.Module):
         k, sk = self.kernel_size, self.small_kernel
         p, sp = k // 2, sk // 2
         if self.deploy:
-            y = nn.Conv(self.features, (k, k), strides=self.stride,
-                        padding=[(p, p), (p, p)],
-                        feature_group_count=self.groups, use_bias=True,
-                        dtype=self.dtype, name="lkb_reparam")(x)
-            return jax.nn.gelu(y, approximate=False)
+            return nn.Conv(self.features, (k, k), strides=self.stride,
+                           padding=[(p, p), (p, p)],
+                           feature_group_count=self.groups, use_bias=True,
+                           dtype=self.dtype, name="lkb_reparam")(x)
         big = nn.Conv(self.features, (k, k), strides=self.stride,
                       padding=[(p, p), (p, p)],
                       feature_group_count=self.groups, use_bias=False,
@@ -56,7 +61,7 @@ class ReparamLargeKernelConv(nn.Module):
                         feature_group_count=self.groups, use_bias=False,
                         dtype=self.dtype, name="small_conv")(x)
         small = _bn(small, self, train, "small_bn")
-        return jax.nn.gelu(big + small, approximate=False)
+        return big + small
 
 
 class RepMixer(nn.Module):
@@ -194,12 +199,13 @@ class FastViT(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
         # conv stem: 3 MobileOne blocks (fastvit.py:63-110)
-        x = MobileOneBlock(self.embed_dims[0], 3, stride=2, deploy=self.deploy,
+        x = MobileOneBlock(self.embed_dims[0], 3, stride=2, act="gelu", deploy=self.deploy,
                            dtype=self.dtype, name="stem0")(x, train)
         x = MobileOneBlock(self.embed_dims[0], 3, stride=2,
-                           groups=self.embed_dims[0], deploy=self.deploy,
+                           groups=self.embed_dims[0], act="gelu",
+                           deploy=self.deploy,
                            dtype=self.dtype, name="stem1")(x, train)
-        x = MobileOneBlock(self.embed_dims[0], 1, deploy=self.deploy,
+        x = MobileOneBlock(self.embed_dims[0], 1, act="gelu", deploy=self.deploy,
                            dtype=self.dtype, name="stem2")(x, train)
         feats = []
         for i in range(4):
@@ -224,7 +230,7 @@ class FastViT(nn.Module):
                                            deploy=self.deploy,
                                            dtype=self.dtype,
                                            name=f"embed{i}_lk")(x, train)
-                x = MobileOneBlock(self.embed_dims[i + 1], 1,
+                x = MobileOneBlock(self.embed_dims[i + 1], 1, act="gelu",
                                    deploy=self.deploy, dtype=self.dtype,
                                    name=f"embed{i}_pw")(x, train)
         return tuple(feats)

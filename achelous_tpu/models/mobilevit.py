@@ -71,7 +71,8 @@ class TransformerBlock(nn.Module):
     def __call__(self, x):
         b, p, n, d = x.shape
         inner = self.heads * self.dim_head
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        # torch nn.LayerNorm default eps (1e-5); flax defaults to 1e-6
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype,
                        name="to_qkv")(h)
         qkv = qkv.reshape(b, p, n, 3, self.heads, self.dim_head)
@@ -83,7 +84,7 @@ class TransformerBlock(nn.Module):
         out = jnp.moveaxis(out, 2, -2).reshape(b, p, n, inner)
         out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
         x = x + out
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(self.mlp_dim, dtype=self.dtype, name="ff1")(h)
         h = jax.nn.silu(h)
         h = nn.Dense(self.dim, dtype=self.dtype, name="ff2")(h)

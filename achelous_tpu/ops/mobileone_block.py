@@ -44,6 +44,8 @@ class MobileOneBlock(nn.Module):
     use_act: bool = True
     use_scale_branch: bool = True
     num_conv_branches: int = 1
+    act: str = "relu"     # backbone mobileone.py:102 uses ReLU; FastViT's
+                          # copy defaults to GELU (modules/mobileone.py:81)
     deploy: bool = False
     dtype: Dtype = jnp.float32
 
@@ -56,7 +58,10 @@ class MobileOneBlock(nn.Module):
         def post(y):
             if self.use_se:
                 y = SEBlock(dtype=self.dtype, name="se")(y)
-            return jax.nn.relu(y) if self.use_act else y
+            if not self.use_act:
+                return y
+            return jax.nn.relu(y) if self.act == "relu" else \
+                jax.nn.gelu(y, approximate=False)
 
         if self.deploy:
             y = nn.Conv(self.features, (k, k), strides=self.stride,

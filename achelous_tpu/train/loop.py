@@ -71,20 +71,39 @@ class LossHistory:
 
 def batches_from(dataset: WaterScenesDataset, cfg: AchelousConfig,
                  batch_size: int, max_gt: int, shuffle: bool,
-                 rng: np.random.RandomState) -> Iterable[dict]:
+                 rng: np.random.RandomState,
+                 drop_last: bool = True) -> Iterable[dict]:
+    """Static-shape batches. drop_last=True matches the reference DataLoaders
+    (train.py:589-603 set drop_last=True for both train and val-loss gens).
+    With drop_last=False the tail batch is padded to batch_size by wrapping
+    around; `n_valid` marks how many leading samples are real and `indices`
+    carries the dataset indices — eval loops score only the real ones, so
+    every sample is seen exactly once (the reference EvalCallback scores every
+    image, utils/callbacks.py:222-265)."""
     idx = np.arange(len(dataset))
     if shuffle:
         rng.shuffle(idx)
-    for s in range(0, len(idx) - batch_size + 1, batch_size):
-        samples = [dataset[i] for i in idx[s:s + batch_size]]
-        yield collate(samples, cfg, max_gt)
+    end = len(idx) - batch_size + 1 if drop_last else len(idx)
+    for s in range(0, max(end, 0 if drop_last else 1), batch_size):
+        take = idx[s:s + batch_size]
+        n_valid = len(take)
+        if n_valid < batch_size:        # pad by cyclic wrapping (never scored)
+            take = np.concatenate([take, np.resize(idx, batch_size - n_valid)])
+        samples = [dataset[i] for i in take]
+        batch = collate(samples, cfg, max_gt)
+        batch["n_valid"] = n_valid
+        batch["indices"] = take
+        yield batch
+
+
+_HOST_ONLY_KEYS = ("radar_points", "radar_points_valid", "n_valid", "indices")
 
 
 def device_batch(batch: dict, cfg: AchelousConfig) -> dict:
     """Host batch -> device arrays; splat radar points on device if the
     batch carries raw points instead of pre-rasterized maps."""
     out = {k: jnp.asarray(v) for k, v in batch.items()
-           if k not in ("radar_points", "radar_points_valid")}
+           if k not in _HOST_ONLY_KEYS}
     if "radar" not in out:
         out["radar"] = jax.vmap(
             lambda p, v: splat_radar_fast(p, v, resolution=cfg.resolution))(
@@ -93,12 +112,47 @@ def device_batch(batch: dict, cfg: AchelousConfig) -> dict:
     return out
 
 
+def unletterbox_argmax(prob: np.ndarray, orig_hw: tuple[int, int]) -> np.ndarray:
+    """Class-prob map at letterbox resolution -> label map at the original
+    image resolution.
+
+    Exactly the reference eval path (utils_seg/callbacks.py:169-186): crop
+    the gray letterbox bars off the softmax probabilities, bilinear-resize
+    the probs to the native size, then argmax.
+    """
+    from PIL import Image
+    r = prob.shape[0]
+    ih, iw = orig_hw
+    scale = min(r / iw, r / ih)
+    nw, nh = int(iw * scale), int(ih * scale)
+    dx, dy = (r - nw) // 2, (r - nh) // 2
+    crop = np.ascontiguousarray(prob[dy:dy + nh, dx:dx + nw], np.float32)
+    if (ih, iw) == (nh, nw):
+        return np.argmax(crop, -1).astype(np.int32)
+    chans = [np.asarray(Image.fromarray(crop[..., c], mode="F")
+                        .resize((iw, ih), Image.BILINEAR))
+             for c in range(crop.shape[-1])]
+    return np.argmax(np.stack(chans, -1), -1).astype(np.int32)
+
+
 def evaluate_epoch(model, cfg: AchelousConfig, state: TrainState,
                    dataset: WaterScenesDataset, batch_size: int = 8,
                    conf_thres: float = 0.02, nms_thres: float = 0.5,
                    use_ema: bool = True) -> dict:
     """Online eval: det mAP + semantic/waterline mIoU + pc mIoU over a val
-    set (the reference's four EvalCallbacks, computed in memory)."""
+    set (the reference's four EvalCallbacks, computed in memory).
+
+    Fidelity notes:
+      * every val image is scored exactly once (tail batch padded, padding
+        masked out via n_valid — the reference EvalCallback also scores the
+        full set, utils/callbacks.py:222-265);
+      * seg/waterline mIoU is computed un-letterboxed at the original image
+        resolution against the raw label pngs (utils_seg/callbacks.py:
+        169-186), not at letterboxed input resolution;
+      * detection mAP is computed in letterboxed pixel space — the letterbox
+        map is the same uniform scale+offset for predictions and GTs, so
+        every IoU (and hence mAP) is identical to original-space matching.
+    """
     params = state.ema_params if use_ema else state.params
     stats = state.ema_batch_stats if use_ema else state.batch_stats
     r = cfg.resolution
@@ -111,18 +165,20 @@ def evaluate_epoch(model, cfg: AchelousConfig, state: TrainState,
         decoded = decode_outputs(det, (r, r))
         dets = non_max_suppression(decoded, cfg.num_det, conf_thres,
                                    nms_thres)
-        return dets, jnp.argmax(sem, -1), jnp.argmax(lane, -1), \
-            jnp.argmax(pc, -1)
+        return (dets, jax.nn.softmax(sem.astype(jnp.float32), -1),
+                jax.nn.softmax(lane.astype(jnp.float32), -1),
+                jnp.argmax(pc, -1))
 
     all_dets, all_gts = [], []
     sem_hist = np.zeros((cfg.num_seg, cfg.num_seg), np.int64)
     wl_hist = np.zeros((2, 2), np.int64)
     pc_conf = np.zeros((cfg.pc_classes, cfg.pc_classes), np.int64)
     rng = np.random.RandomState(0)
-    for batch in batches_from(dataset, cfg, batch_size, 50, False, rng):
+    for batch in batches_from(dataset, cfg, batch_size, 50, False, rng,
+                              drop_last=False):
         db = device_batch(batch, cfg)
-        dets, sem_pred, wl_pred, pc_pred = jax.device_get(infer(db))
-        for i in range(len(batch["image"])):
+        dets, sem_prob, wl_prob, pc_pred = jax.device_get(infer(db))
+        for i in range(batch["n_valid"]):
             v = dets.valid[i]
             boxes = dets.boxes[i][v] * r          # pixel scale for matching
             all_dets.append({
@@ -135,16 +191,21 @@ def evaluate_epoch(model, cfg: AchelousConfig, state: TrainState,
                                       gb[:, :2] + gb[:, 2:] / 2], -1)
             all_gts.append({"boxes": gt_xyxy,
                             "classes": batch["gt_classes"][i][gm]})
-            sem_hist += fast_hist(batch["seg_labels"][i].flatten(),
-                                  sem_pred[i].flatten(), cfg.num_seg)
+            seg_orig, wl_orig = dataset.original_masks(int(batch["indices"][i]))
+            sem_hist += fast_hist(
+                seg_orig.flatten(),
+                unletterbox_argmax(sem_prob[i], seg_orig.shape).flatten(),
+                cfg.num_seg)
             # labels == 2 are the ignore class; fast_hist drops out-of-range
-            wl_hist += fast_hist(batch["wl_labels"][i].flatten(),
-                                 wl_pred[i].flatten(), 2)
+            wl_hist += fast_hist(
+                wl_orig.flatten(),
+                unletterbox_argmax(wl_prob[i], wl_orig.shape).flatten(), 2)
             pc_conf += fast_hist(batch["pc_labels"][i].flatten(),
                                  pc_pred[i].flatten(), cfg.pc_classes)
     det_m = compute_det_metrics(all_dets, all_gts, cfg.num_det)
     from achelous_tpu.utils.metrics import per_class_iu
     return {**det_m,
+            "n_images": len(all_gts),
             "miou_sem": float(np.nanmean(per_class_iu(sem_hist))),
             "miou_wl": float(np.nanmean(per_class_iu(wl_hist))),
             "miou_pc": pc_mean_iou(pc_conf)}
@@ -170,8 +231,9 @@ def fit(model, cfg: AchelousConfig, tcfg: TrainConfig,
     ckpt = CheckpointManager(os.path.join(log_dir, "ckpt"))
     rng = np.random.RandomState(seed)
 
-    for epoch in range(int(state.step) // max(len(train_ds) // tcfg.batch_size, 1),
-                       epochs):
+    # epoch is stored explicitly in the state (not inferred from step), so
+    # resume is exact even if the dataset size or batch size changed
+    for epoch in range(int(state.epoch), epochs):
         lr = jnp.float32(lr_fn(epoch))
         t0 = time.time()
         tr_metrics, n_b = None, 0
@@ -196,6 +258,7 @@ def fit(model, cfg: AchelousConfig, tcfg: TrainConfig,
             if (epoch + 1) % eval_period == 0 or epoch == epochs - 1:
                 val.update(evaluate_epoch(model, cfg, state, val_ds,
                                           batch_size=tcfg.batch_size))
+        state = state.replace(epoch=jnp.int32(epoch + 1))
         history.append(epoch, **{"lr": float(lr), **tr, **val})
         ckpt.save_epoch(epoch, state, tr.get("loss", 0.0),
                         val.get("val_loss", tr.get("loss", 0.0)), save_period)

@@ -65,6 +65,8 @@ class TrainConfig:
 
 class TrainState(flax.struct.PyTreeNode):
     step: jnp.ndarray
+    epoch: jnp.ndarray               # completed epochs (explicit, so resume
+                                     # survives dataset-size/batch-size change)
     params: Any
     log_vars: jnp.ndarray            # 3-task uncertainty weights
     batch_stats: Any
@@ -91,7 +93,14 @@ def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
                       nesterov=True),
         )
     else:
+        # coupled L2 decay before the adam preconditioner, matching torch
+        # Adam(weight_decay=...) applied to the weights group in the
+        # reference's param grouping (train.py:499-513)
         opt = optax.chain(
+            optax.add_decayed_weights(
+                tcfg.weight_decay,
+                mask=lambda g: {"model": _wd_mask(g["model"]),
+                                "log_vars": False}),
             optax.scale_by_adam(b1=tcfg.momentum, b2=0.999),
             optax.scale(-1.0),
         )
@@ -108,7 +117,8 @@ def create_train_state(model, cfg: AchelousConfig, tcfg: TrainConfig,
     trainable = {"model": params, "log_vars": jnp.zeros(3, jnp.float32)}
     opt_state = opt.init(trainable)
     return TrainState(
-        step=jnp.zeros((), jnp.int32), params=params,
+        step=jnp.zeros((), jnp.int32), epoch=jnp.zeros((), jnp.int32),
+        params=params,
         log_vars=jnp.zeros(3, jnp.float32), batch_stats=batch_stats,
         opt_state=opt_state, ema_params=params, ema_batch_stats=batch_stats,
         ema_updates=jnp.zeros((), jnp.int32))

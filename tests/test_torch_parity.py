@@ -127,6 +127,292 @@ def test_pointnet_forward_parity():
 
 
 # ---------------------------------------------------------------------------
+# EfficientFormerV2 backbone (via the torch_import transplant engine)
+# ---------------------------------------------------------------------------
+
+
+def state_dict_np(tm):
+    return {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+
+def test_efficientformer_forward_parity():
+    from backbone.vision.ImageEncoder import image_encoder_s0
+    from achelous_tpu.models.efficientformer import image_encoder_s0 as jx
+    from achelous_tpu.utils.torch_import import (efficientformer_mapping,
+                                                 transplant)
+
+    tm = image_encoder_s0(resolution=64).eval()
+    jm = jx(resolution=64, use_pallas_attention=False)
+    x_np = np.random.RandomState(2).randn(1, 3, 64, 64).astype(np.float32)
+    variables = jm.init(jax.random.PRNGKey(0),
+                        jnp.asarray(x_np.transpose(0, 2, 3, 1)))
+    new_vars = transplant(
+        jax.tree_util.tree_map(np.asarray, variables), state_dict_np(tm),
+        efficientformer_mapping("S0"))
+
+    with torch.no_grad():
+        want = [o.numpy() for o in tm(torch.from_numpy(x_np))]
+    got = jm.apply(new_vars, jnp.asarray(x_np.transpose(0, 2, 3, 1)))
+    assert len(got) == len(want) == 4
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2), w,
+                                   rtol=2e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# MobileViT backbone
+# ---------------------------------------------------------------------------
+
+
+def test_mobilevit_forward_parity():
+    from backbone.vision.mobilevit_modules.mobilevit import mobilevit_xxs
+    from achelous_tpu.models.mobilevit import mobilevit_xxs as jx
+    from achelous_tpu.utils.torch_import import (mobilevit_mapping,
+                                                 transplant)
+
+    tm = mobilevit_xxs(resolution=64).eval()
+    jm = jx()
+    x_np = np.random.RandomState(3).randn(1, 3, 64, 64).astype(np.float32)
+    variables = jm.init(jax.random.PRNGKey(0),
+                        jnp.asarray(x_np.transpose(0, 2, 3, 1)))
+    new_vars = transplant(
+        jax.tree_util.tree_map(np.asarray, variables), state_dict_np(tm),
+        mobilevit_mapping("S0"))
+
+    with torch.no_grad():
+        want = [o.numpy() for o in tm(torch.from_numpy(x_np))]
+    got = jm.apply(new_vars, jnp.asarray(x_np.transpose(0, 2, 3, 1)))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2), w,
+                                   rtol=2e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# EdgeViT backbone
+# ---------------------------------------------------------------------------
+
+
+def test_edgevit_forward_parity():
+    from backbone.vision.edgevit_modules.edgevit import edgevit_xxs
+    from achelous_tpu.models.edgevit import edgevit_xxs as jx
+    from achelous_tpu.utils.torch_import import edgevit_mapping, transplant
+
+    tm = edgevit_xxs(resolution=64).eval()
+    jm = jx()
+    x_np = np.random.RandomState(4).randn(1, 3, 64, 64).astype(np.float32)
+    variables = jm.init(jax.random.PRNGKey(0),
+                        jnp.asarray(x_np.transpose(0, 2, 3, 1)))
+    new_vars = transplant(
+        jax.tree_util.tree_map(np.asarray, variables), state_dict_np(tm),
+        edgevit_mapping("S0"))
+
+    with torch.no_grad():
+        want = [o.numpy() for o in tm(torch.from_numpy(x_np))]
+    got = jm.apply(new_vars, jnp.asarray(x_np.transpose(0, 2, 3, 1)))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2), w,
+                                   rtol=2e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# RepViT backbone
+# ---------------------------------------------------------------------------
+
+
+def test_repvit_forward_parity():
+    from backbone.vision.repvit_modules.repvit import repvit_m1
+    from achelous_tpu.models.repvit import repvit_m1 as jx
+    from achelous_tpu.utils.torch_import import repvit_mapping, transplant
+
+    tm = repvit_m1().eval()
+    jm = jx()
+    x_np = np.random.RandomState(5).randn(1, 3, 64, 64).astype(np.float32)
+    variables = jm.init(jax.random.PRNGKey(0),
+                        jnp.asarray(x_np.transpose(0, 2, 3, 1)))
+    new_vars = transplant(
+        jax.tree_util.tree_map(np.asarray, variables), state_dict_np(tm),
+        repvit_mapping("S0"))
+
+    with torch.no_grad():
+        want = [o.numpy() for o in tm(torch.from_numpy(x_np))]
+    got = jm.apply(new_vars, jnp.asarray(x_np.transpose(0, 2, 3, 1)))
+    assert len(got) == len(want) == 4
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2), w,
+                                   rtol=2e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# PoolFormer backbone
+# ---------------------------------------------------------------------------
+
+
+def test_poolformer_forward_parity():
+    from backbone.vision.poolformer_modules.poolformer import poolformer_S0
+    from achelous_tpu.models.poolformer import poolformer_s0 as jx
+    from achelous_tpu.utils.torch_import import (poolformer_mapping,
+                                                 transplant)
+
+    tm = poolformer_S0().eval()
+    jm = jx()
+    x_np = np.random.RandomState(6).randn(1, 3, 64, 64).astype(np.float32)
+    variables = jm.init(jax.random.PRNGKey(0),
+                        jnp.asarray(x_np.transpose(0, 2, 3, 1)))
+    new_vars = transplant(
+        jax.tree_util.tree_map(np.asarray, variables), state_dict_np(tm),
+        poolformer_mapping("S0"))
+
+    with torch.no_grad():
+        want = [o.numpy() for o in tm(torch.from_numpy(x_np))]
+    got = jm.apply(new_vars, jnp.asarray(x_np.transpose(0, 2, 3, 1)))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2), w,
+                                   rtol=2e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# MobileOne backbone
+# ---------------------------------------------------------------------------
+
+
+def test_mobileone_forward_parity():
+    from backbone.vision.mobileone_modules.mobileone import mobileone
+    from achelous_tpu.models.mobileone import mobileone_s0 as jx
+    from achelous_tpu.utils.torch_import import mobileone_mapping, transplant
+
+    tm = mobileone(variant="S0").eval()
+    jm = jx()
+    x_np = np.random.RandomState(7).randn(1, 3, 64, 64).astype(np.float32)
+    variables = jm.init(jax.random.PRNGKey(0),
+                        jnp.asarray(x_np.transpose(0, 2, 3, 1)))
+    new_vars = transplant(
+        jax.tree_util.tree_map(np.asarray, variables), state_dict_np(tm),
+        mobileone_mapping("S0"))
+
+    with torch.no_grad():
+        want = [o.numpy() for o in tm(torch.from_numpy(x_np))]
+    got = jm.apply(new_vars, jnp.asarray(x_np.transpose(0, 2, 3, 1)))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2), w,
+                                   rtol=2e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# FastViT backbone
+# ---------------------------------------------------------------------------
+
+
+def test_fastvit_forward_parity():
+    from backbone.vision.fastvit_modules.fastvit import fastvit_s0
+    from achelous_tpu.models.fastvit import fastvit_s0 as jx
+    from achelous_tpu.utils.torch_import import fastvit_mapping, transplant
+
+    tm = fastvit_s0(fork_feat=True).eval()
+    jm = jx()
+    x_np = np.random.RandomState(8).randn(1, 3, 64, 64).astype(np.float32)
+    variables = jm.init(jax.random.PRNGKey(0),
+                        jnp.asarray(x_np.transpose(0, 2, 3, 1)))
+    new_vars = transplant(
+        jax.tree_util.tree_map(np.asarray, variables), state_dict_np(tm),
+        fastvit_mapping("S0"))
+
+    with torch.no_grad():
+        want = [o.numpy() for o in tm(torch.from_numpy(x_np))]
+    got = jm.apply(new_vars, jnp.asarray(x_np.transpose(0, 2, 3, 1)))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2), w,
+                                   rtol=2e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# RCNet radar encoder (exercises the deformable-conv kernel with random,
+# non-zero offsets/modulators against torchvision.ops.deform_conv2d)
+# ---------------------------------------------------------------------------
+
+
+def test_rcnet_forward_parity():
+    from backbone.radar.RadarEncoder import RCNet as TorchRCNet
+    from achelous_tpu.models.rcnet import RCNet
+    from achelous_tpu.utils.torch_import import rcnet_mapping, transplant
+
+    tm = TorchRCNet(in_channels=3, phi="S0").eval()
+    # randomize the zero-initialized offset/modulator convs so the deformable
+    # sampling actually moves off-grid
+    with torch.no_grad():
+        for mod in tm.modules():
+            if type(mod).__name__ == "DeformableConv2d":
+                mod.offset_conv.weight.normal_(0, 0.05)
+                mod.offset_conv.bias.normal_(0, 0.2)
+                mod.modulator_conv.weight.normal_(0, 0.05)
+                mod.modulator_conv.bias.normal_(0, 0.2)
+    jm = RCNet(phi="S0")
+    x_np = np.random.RandomState(9).randn(1, 3, 64, 64).astype(np.float32)
+    variables = jm.init(jax.random.PRNGKey(0),
+                        jnp.asarray(x_np.transpose(0, 2, 3, 1)))
+    new_vars = transplant(
+        jax.tree_util.tree_map(np.asarray, variables), state_dict_np(tm),
+        rcnet_mapping("S0"))
+
+    with torch.no_grad():
+        want = [o.numpy() for o in tm(torch.from_numpy(x_np))]
+    got = jm.apply(new_vars, jnp.asarray(x_np.transpose(0, 2, 3, 1)))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2), w,
+                                   rtol=2e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Full EN-GDF-PN-S0 assembly (backbone + GDF neck + RCNet + IR fusion +
+# DecoupleHead + PointNet in one transplanted forward)
+# ---------------------------------------------------------------------------
+
+
+def test_full_achelous_forward_parity():
+    from nets.Achelous import Achelous as TorchAchelous
+    from achelous_tpu.core.config import AchelousConfig
+    from achelous_tpu.models.achelous import create_model
+    from achelous_tpu.utils.torch_import import achelous_mapping, transplant
+
+    tm = TorchAchelous(num_det=7, num_seg=9, phi="S0", resolution=64,
+                       backbone="en", neck="gdf", pc_seg="pn", pc_channels=5,
+                       pc_classes=8, nano_head=True, spp=True).eval()
+    cfg = AchelousConfig(phi="S0", backbone="en", neck="gdf", resolution=64)
+    jm = create_model(cfg)
+
+    rng = np.random.RandomState(10)
+    img = rng.randn(1, 3, 64, 64).astype(np.float32)
+    rad = rng.randn(1, 3, 64, 64).astype(np.float32)
+    pc = rng.randn(1, 5, 512).astype(np.float32)
+
+    variables = jm.init(jax.random.PRNGKey(0),
+                        jnp.asarray(img.transpose(0, 2, 3, 1)),
+                        jnp.asarray(rad.transpose(0, 2, 3, 1)),
+                        jnp.asarray(pc.transpose(0, 2, 1)))
+    new_vars = transplant(
+        jax.tree_util.tree_map(np.asarray, variables), state_dict_np(tm),
+        achelous_mapping("S0", "en", "gdf"))
+
+    with torch.no_grad():
+        det_t, sem_t, lane_t, pc_t = tm(torch.from_numpy(img),
+                                        torch.from_numpy(rad),
+                                        torch.from_numpy(pc))
+    det_j, sem_j, lane_j, pc_j = jm.apply(
+        new_vars, jnp.asarray(img.transpose(0, 2, 3, 1)),
+        jnp.asarray(rad.transpose(0, 2, 3, 1)),
+        jnp.asarray(pc.transpose(0, 2, 1)))
+
+    for g, w in zip(det_j, det_t):
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2),
+                                   w.numpy(), rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(sem_j).transpose(0, 3, 1, 2),
+                               sem_t.numpy(), rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(lane_j).transpose(0, 3, 1, 2),
+                               lane_t.numpy(), rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(pc_j), pc_t.numpy(),
+                               rtol=5e-3, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
 # EdgeNeXt backbone
 # ---------------------------------------------------------------------------
 
