@@ -36,7 +36,9 @@ class Bottleneck(nn.Module):
         hidden = int(self.features * self.expansion)
         y = ConvBN(hidden, 1, act=self.act, dtype=self.dtype,
                    name="conv1")(x, train)
-        y = ConvBN(self.features, 3, act="silu", dtype=self.dtype,
+        # conv2 is constructed WITHOUT an act kwarg in the reference
+        # (cspdualfpn.py:47) -> BaseConv's default ReLU, not silu
+        y = ConvBN(self.features, 3, act="relu", dtype=self.dtype,
                    name="conv2")(y, train)
         if self.shortcut and x.shape[-1] == self.features:
             y = y + x
