@@ -49,6 +49,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_period", type=int, default=10)
     p.add_argument("--freeze_epoch", type=int, default=0,
                    help="freeze the vision backbone for the first N epochs")
+    p.add_argument("--init_type", default="none",
+                   choices=["none", "normal", "xavier", "kaiming",
+                            "orthogonal"],
+                   help="weights_init scheme (reference "
+                        "detection_loss.py:466-485); 'none' keeps flax "
+                        "fan-in variance-scaling defaults")
+    p.add_argument("--init_gain", type=float, default=0.02)
     p.add_argument("--resume", default="",
                    help="checkpoint name under <log_dir>/ckpt to resume from")
     return p
@@ -75,7 +82,9 @@ def main(argv=None):
     tcfg = TrainConfig(batch_size=args.bs, epochs=args.epoch,
                        lr_init=args.lr_init, lr_decay=args.lr_decay,
                        optimizer=args.opt, focal=args.focal, dice=args.dice,
-                       mtl=args.mtl, freeze_epochs=args.freeze_epoch)
+                       mtl=args.mtl, freeze_epochs=args.freeze_epoch,
+                       init_type=None if args.init_type == "none"
+                       else args.init_type, init_gain=args.init_gain)
 
     def paths(annotation):
         return WaterScenesPaths(

@@ -61,6 +61,13 @@ class TrainConfig:
     freeze_epochs: int = 0           # freeze the vision backbone for the
                                      # first N epochs (reference Freeze_Train,
                                      # train.py:478-480)
+    init_type: Optional[str] = None  # None = flax defaults (fan-in variance
+                                     # scaling — our documented default); or
+                                     # 'normal'/'xavier'/'kaiming'/'orthogonal'
+                                     # for reference weights_init parity
+                                     # (detection_loss.py:466-485, applied at
+                                     # train.py:342 with type='normal')
+    init_gain: float = 0.02
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -113,6 +120,11 @@ def create_train_state(model, cfg: AchelousConfig, tcfg: TrainConfig,
     variables = jax.jit(partial(model.init, train=False))(rng, *sample_inputs)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    if tcfg.init_type is not None:
+        from achelous_tpu.core.init import weights_init
+        params = weights_init(params, batch_stats,
+                              jax.random.fold_in(rng, 0x1717),
+                              tcfg.init_type, tcfg.init_gain)
     opt = make_optimizer(tcfg)
     trainable = {"model": params, "log_vars": jnp.zeros(3, jnp.float32)}
     opt_state = opt.init(trainable)
