@@ -32,31 +32,28 @@ def uncertainty_weighted(losses: Sequence[jnp.ndarray], log_vars: jnp.ndarray,
     return total
 
 
-def _project_simplex(v: jnp.ndarray) -> jnp.ndarray:
-    """Euclidean projection onto the probability simplex (sorted-threshold)."""
-    n = v.shape[0]
-    u = jnp.sort(v)[::-1]
-    css = jnp.cumsum(u)
-    rho_mask = u + (1.0 - css) / jnp.arange(1, n + 1) > 0
-    rho = jnp.sum(rho_mask.astype(jnp.int32))
-    lam = (1.0 - css[rho - 1]) / rho
-    return jnp.maximum(v + lam, 0.0)
-
-
-def minnorm_weights(gram: jnp.ndarray, iters: int = 50,
-                    lr: float = 0.5) -> jnp.ndarray:
+def minnorm_weights(gram: jnp.ndarray, iters: int = 250) -> jnp.ndarray:
     """Min-norm element of the convex hull of task gradients.
 
-    Solves min_w w^T G w over the simplex (the MGDA subproblem,
-    reference loss/mgda.py:23-109) by projected gradient descent — exact
-    enough at task_num <= 4 and fully branch-free for XLA.
+    Solves min_w w^T G w over the simplex (the MGDA subproblem, reference
+    loss/mgda.py:23-109) by Frank-Wolfe with EXACT line search — the same
+    algorithm family as the reference's `_find_min_norm_element`, but
+    branch-free and fully jittable.  Golden-tested against scipy SLSQP
+    (tests/test_gradient_surgery_golden.py).
     """
     t = gram.shape[0]
-    w = jnp.full((t,), 1.0 / t, gram.dtype)
+    gram = gram.astype(jnp.float32)
+    w = jnp.full((t,), 1.0 / t, jnp.float32)
 
     def body(i, w):
-        grad = 2.0 * gram @ w
-        return _project_simplex(w - lr * grad / (jnp.linalg.norm(grad) + 1e-12))
+        gw = gram @ w
+        # FW vertex: the coordinate with the most-negative directional deriv
+        s = jax.nn.one_hot(jnp.argmin(gw), t, dtype=w.dtype)
+        d = s - w
+        dgd = d @ gram @ d
+        # exact minimizer of the quadratic along w + gamma*d, gamma in [0,1]
+        gamma = jnp.clip(-(d @ gw) / jnp.maximum(dgd, 1e-12), 0.0, 1.0)
+        return w + gamma * d
 
     return jax.lax.fori_loop(0, iters, body, w)
 
@@ -82,30 +79,53 @@ def mgda_combine(task_grads: jnp.ndarray, normalization: str = "l2",
 
 
 def cagrad_combine(task_grads: jnp.ndarray, c: float = 0.4,
-                   rescale: int = 1, iters: int = 50) -> jnp.ndarray:
+                   rescale: int = 1, iters: int = 200) -> jnp.ndarray:
     """Conflict-averse gradient (reference CAGrad.py:11-68).
 
-    Replaces the scipy SLSQP solve (CAGrad.py:54) with projected gradient
-    descent on the simplex objective  w^T g0 + sqrt(phi) * ||g_w||.
+    Replaces the scipy SLSQP solve (CAGrad.py:54) with Frank-Wolfe on the
+    simplex objective  F(w) = w^T A b + cc * ||g_w||  (A = Gram matrix,
+    b = uniform weights, cc = c * ||g0||).  Along a FW segment w + gamma*d
+    the stationarity condition is a QUADRATIC in gamma, so the line search
+    is closed-form: solve it, evaluate F on {0, 1, roots} and keep the best.
+    Golden-tested against the reference's scipy formulation
+    (tests/test_gradient_surgery_golden.py).
     """
     t, _ = task_grads.shape
-    gg = task_grads @ task_grads.T                    # [T, T]
-    gg = gg.astype(jnp.float32)
-    g0_norm = jnp.sqrt(jnp.maximum(jnp.mean(gg), 0.0)) + 1e-8
-    phi = (c * g0_norm) ** 2
-    b = jnp.mean(gg, axis=1)                          # <g_i, g0>
+    A = (task_grads @ task_grads.T).astype(jnp.float32)   # [T, T]
+    g0_norm = jnp.sqrt(jnp.maximum(jnp.mean(A), 0.0) + 1e-8)
+    cc = c * g0_norm + 1e-8                               # CAGrad.py:47
+    b = jnp.mean(A, axis=1)                               # A @ (1/T)
+    eps = 1e-8
 
-    def obj_grad(w):
-        gwsq = jnp.maximum(w @ gg @ w, 0.0)
-        return b + jnp.sqrt(phi) * (gg @ w) / (jnp.sqrt(gwsq) + 1e-8)
+    def F(w):
+        return w @ b + cc * jnp.sqrt(jnp.maximum(w @ A @ w, 0.0) + eps)
 
     def body(i, w):
-        return _project_simplex(w - 0.2 * obj_grad(w) / (g0_norm + 1e-8))
+        Aw = A @ w
+        wAw = jnp.maximum(w @ Aw, 0.0) + eps
+        grad = b + cc * Aw / jnp.sqrt(wAw)
+        s = jax.nn.one_hot(jnp.argmin(grad), t, dtype=w.dtype)
+        d = s - w
+        beta = d @ b
+        wAd = d @ Aw
+        dAd = jnp.maximum(d @ A @ d, 1e-12)
+        # dF/dgamma = 0  =>  beta^2 (wAw + 2g wAd + g^2 dAd) = cc^2 (wAd + g dAd)^2
+        qa = beta ** 2 * dAd - cc ** 2 * dAd ** 2
+        qb = 2.0 * (beta ** 2 * wAd - cc ** 2 * wAd * dAd)
+        qc = beta ** 2 * wAw - cc ** 2 * wAd ** 2
+        disc = jnp.sqrt(jnp.maximum(qb ** 2 - 4.0 * qa * qc, 0.0))
+        denom = jnp.where(jnp.abs(qa) > 1e-20, 2.0 * qa, 1.0)
+        r1 = jnp.clip((-qb + disc) / denom, 0.0, 1.0)
+        r2 = jnp.clip((-qb - disc) / denom, 0.0, 1.0)
+        cands = jnp.stack([jnp.float32(0.0), jnp.float32(1.0), r1, r2])
+        vals = jax.vmap(lambda g: F(w + g * d))(cands)
+        gamma = cands[jnp.argmin(vals)]
+        return w + gamma * d
 
-    w = jax.lax.fori_loop(0, iters, body, jnp.full((t,), 1.0 / t))
+    w = jax.lax.fori_loop(0, iters, body, jnp.full((t,), 1.0 / t, jnp.float32))
     gw = w @ task_grads
     gw_norm = jnp.linalg.norm(gw) + 1e-8
-    lmbda = jnp.sqrt(phi) / gw_norm
+    lmbda = cc / gw_norm
     g = jnp.mean(task_grads, 0) + lmbda * gw
     if rescale == 0:
         return g
