@@ -112,11 +112,21 @@ def voc_ap(rec: np.ndarray, prec: np.ndarray) -> float:
 
 def _match_class(dets: List[Tuple[float, np.ndarray]],
                  gts_per_img: Dict[int, np.ndarray],
-                 iou_thr: float) -> Tuple[np.ndarray, np.ndarray, int]:
+                 iou_thr: float,
+                 coco: bool = False) -> Tuple[np.ndarray, np.ndarray, int]:
     """Greedy score-ordered matching for one class at one IoU threshold.
 
     dets: list of (score, box, img_id) sorted desc by score.
     Returns (tp flags, fp flags, n_gt).
+
+    Two matching rules exist in the reference's eval stack:
+      * coco=True — pycocotools COCOeval.evaluateImg: each detection matches
+        the highest-IoU GT among the *still-unmatched* GTs clearing the
+        threshold (a det can fall through to the 2nd-best GT if the best was
+        taken by a higher-scored det);
+      * coco=False — VOC get_map (utils_map.py:542-571): the detection is
+        tied to its overall argmax-IoU GT; if that GT is already used the
+        det is a false positive even when another GT would match.
     """
     n_gt = sum(len(v) for v in gts_per_img.values())
     matched = {k: np.zeros(len(v), bool) for k, v in gts_per_img.items()}
@@ -128,12 +138,21 @@ def _match_class(dets: List[Tuple[float, np.ndarray]],
             fp[i] = 1
             continue
         ious = box_iou_xyxy(box[None], gt)[0]
-        j = int(np.argmax(ious))
-        if ious[j] >= iou_thr and not matched[img][j]:
-            matched[img][j] = True
-            tp[i] = 1
+        if coco:
+            free = ~matched[img] & (ious >= iou_thr)
+            if free.any():
+                j = int(np.argmax(np.where(free, ious, -1.0)))
+                matched[img][j] = True
+                tp[i] = 1
+            else:
+                fp[i] = 1
         else:
-            fp[i] = 1
+            j = int(np.argmax(ious))
+            if ious[j] >= iou_thr and not matched[img][j]:
+                matched[img][j] = True
+                tp[i] = 1
+            else:
+                fp[i] = 1
     return tp, fp, n_gt
 
 
@@ -166,17 +185,27 @@ def compute_det_metrics(detections: List[Dict], ground_truths: List[Dict],
     Returns mAP50-95, mAP50, mAP75, AR100 (averaged over classes present in
     the GT, matching pycocotools conventions; reference callbacks report
     stats[1] = AP50, utils/callbacks.py:267-271).
+
+    Semantics are pycocotools-exact for useCats=1 / area 'all' / no crowd:
+    best-unmatched-GT matching, per-(image,category) maxDets truncation,
+    stable score sorts, 101-point searchsorted interpolation — cross-
+    validated to 1e-9 against an independent COCOeval transcription in
+    tests/test_coco_golden.py (pycocotools itself is not installed here).
     """
     iou_thrs = np.linspace(0.5, 0.95, 10)   # exact decimals (pycocotools)
     per_cls_dets = {c: [] for c in range(num_classes)}
     per_cls_gts = {c: {} for c in range(num_classes)}
     for img_id, (det, gt) in enumerate(zip(detections, ground_truths)):
-        order = np.argsort(-np.asarray(det["scores"]))[:max_det]
-        for i in order:
-            c = int(det["classes"][i])
-            per_cls_dets[c].append((float(det["scores"][i]),
-                                    np.asarray(det["boxes"][i]), img_id))
+        scores = np.asarray(det["scores"])
+        classes = np.asarray(det["classes"])
         for c in range(num_classes):
+            # maxDets applies per image PER CATEGORY (pycocotools
+            # evaluateImg truncates the per-(img,cat) det list)
+            dm = np.where(classes == c)[0]
+            order = dm[np.argsort(-scores[dm], kind="mergesort")][:max_det]
+            for i in order:
+                per_cls_dets[c].append((float(scores[i]),
+                                        np.asarray(det["boxes"][i]), img_id))
             m = np.asarray(gt["classes"]) == c
             if m.any():
                 per_cls_gts[c][img_id] = np.asarray(gt["boxes"])[m]
@@ -186,9 +215,9 @@ def compute_det_metrics(detections: List[Dict], ground_truths: List[Dict],
     for c in range(num_classes):
         if not per_cls_gts[c]:
             continue
-        dets = sorted(per_cls_dets[c], key=lambda t: -t[0])
+        dets = sorted(per_cls_dets[c], key=lambda t: -t[0])  # stable
         for k, thr in enumerate(iou_thrs):
-            tp, fp, n_gt = _match_class(dets, per_cls_gts[c], thr)
+            tp, fp, n_gt = _match_class(dets, per_cls_gts[c], thr, coco=True)
             aps[c, k], recalls[c, k] = _ap_recall_at(tp, fp, n_gt)
     return {
         "mAP50-95": float(np.nanmean(aps)) if not np.isnan(aps).all() else 0.0,

@@ -1,0 +1,113 @@
+"""Cross-validate the in-memory COCO mAP against an independent COCOeval
+transcription (VERDICT r1 item 8).
+
+The reference scores detection through pycocotools
+(utils/utils_map.py:894-922).  pycocotools is not installed in this image,
+so tests/cocoeval_oracle.py re-derives COCOeval's evaluateImg/accumulate
+verbatim from the published algorithm; these tests require
+achelous_tpu.utils.metrics.compute_det_metrics to agree with it to float
+precision on randomized det/gt sets that exercise the tricky paths:
+double-matches falling through to 2nd-best GTs, score ties, classes with
+GTs but no dets, classes with dets but no GTs, empty images.
+"""
+import numpy as np
+import pytest
+
+from achelous_tpu.utils.metrics import compute_det_metrics
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+from cocoeval_oracle import coco_stats  # noqa: E402
+
+KEYMAP = {"mAP50-95": "AP", "mAP50": "AP50", "mAP75": "AP75",
+          "AR100": "AR100"}
+
+
+def _random_scene(rng, n_img, num_classes, gt_per_img=6, extra_fp=4,
+                  miss_rate=0.25, jitter=6.0, tie_scores=False):
+    dets, gts = [], []
+    for _ in range(n_img):
+        n_gt = rng.randint(0, gt_per_img + 1)
+        xy = rng.uniform(0, 250, (n_gt, 2))
+        wh = rng.uniform(10, 60, (n_gt, 2))
+        gt_boxes = np.concatenate([xy, xy + wh], 1)
+        gt_cls = rng.randint(0, num_classes, n_gt)
+        gts.append({"boxes": gt_boxes, "classes": gt_cls})
+
+        d_boxes, d_scores, d_cls = [], [], []
+        for g in range(n_gt):
+            for _copy in range(rng.randint(1, 3)):   # duplicate dets on a GT
+                if rng.rand() < miss_rate:
+                    continue
+                d_boxes.append(gt_boxes[g] + rng.uniform(-jitter, jitter, 4))
+                d_scores.append(round(rng.rand(), 2) if tie_scores
+                                else rng.rand())
+                d_cls.append(gt_cls[g])
+        for _ in range(rng.randint(0, extra_fp + 1)):
+            xy = rng.uniform(0, 250, 2)
+            wh = rng.uniform(10, 60, 2)
+            d_boxes.append(np.concatenate([xy, xy + wh]))
+            d_scores.append(round(rng.rand(), 2) if tie_scores
+                            else rng.rand())
+            d_cls.append(rng.randint(0, num_classes))
+        dets.append({
+            "boxes": np.asarray(d_boxes, np.float64).reshape(-1, 4),
+            "scores": np.asarray(d_scores, np.float64),
+            "classes": np.asarray(d_cls, np.int64)})
+    return dets, gts
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_matches_cocoeval_oracle(seed):
+    rng = np.random.RandomState(seed)
+    dets, gts = _random_scene(rng, n_img=12, num_classes=5)
+    ours = compute_det_metrics(dets, gts, num_classes=5)
+    ref = coco_stats(dets, gts, num_classes=5)
+    for k, rk in KEYMAP.items():
+        np.testing.assert_allclose(ours[k], ref[rk], atol=1e-9,
+                                   err_msg=f"{k} diverges from COCOeval")
+
+
+def test_matches_oracle_with_score_ties():
+    """Two-decimal scores force many ties — the stable-sort contract."""
+    rng = np.random.RandomState(7)
+    dets, gts = _random_scene(rng, n_img=10, num_classes=3, tie_scores=True)
+    ours = compute_det_metrics(dets, gts, num_classes=3)
+    ref = coco_stats(dets, gts, num_classes=3)
+    for k, rk in KEYMAP.items():
+        np.testing.assert_allclose(ours[k], ref[rk], atol=1e-9)
+
+
+def test_matches_oracle_crowded_double_match():
+    """Overlapping GTs + near-identical dets: exercises fall-through to the
+    2nd-best unmatched GT (where VOC- and COCO-matching rules disagree)."""
+    gt_boxes = np.array([[10, 10, 60, 60], [20, 20, 70, 70],
+                         [30, 30, 80, 80]], np.float64)
+    gts = [{"boxes": gt_boxes, "classes": np.zeros(3, np.int64)}]
+    d = np.array([[12, 12, 62, 62], [14, 14, 63, 63], [22, 22, 72, 72],
+                  [31, 31, 81, 81], [11, 11, 61, 61]], np.float64)
+    dets = [{"boxes": d, "scores": np.array([0.9, 0.85, 0.8, 0.7, 0.6]),
+             "classes": np.zeros(5, np.int64)}]
+    ours = compute_det_metrics(dets, gts, num_classes=1)
+    ref = coco_stats(dets, gts, num_classes=1)
+    for k, rk in KEYMAP.items():
+        np.testing.assert_allclose(ours[k], ref[rk], atol=1e-9)
+    assert ours["mAP50"] > 0.9     # all three GTs are findable at IoU 0.5
+
+
+def test_matches_oracle_degenerate_classes():
+    """Class 0: GTs, no dets. Class 1: dets, no GTs. Class 2: both."""
+    gts = [{"boxes": np.array([[0, 0, 10, 10], [50, 50, 90, 90]], float),
+            "classes": np.array([0, 2])},
+           {"boxes": np.zeros((0, 4)), "classes": np.zeros(0, np.int64)}]
+    dets = [{"boxes": np.array([[1, 1, 11, 11], [49, 49, 91, 91]], float),
+             "scores": np.array([0.8, 0.9]),
+             "classes": np.array([1, 2])},
+            {"boxes": np.array([[5, 5, 25, 25]], float),
+             "scores": np.array([0.5]), "classes": np.array([1])}]
+    ours = compute_det_metrics(dets, gts, num_classes=3)
+    ref = coco_stats(dets, gts, num_classes=3)
+    for k, rk in KEYMAP.items():
+        np.testing.assert_allclose(ours[k], ref[rk], atol=1e-9)
