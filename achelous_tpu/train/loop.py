@@ -72,17 +72,25 @@ class LossHistory:
 def batches_from(dataset: WaterScenesDataset, cfg: AchelousConfig,
                  batch_size: int, max_gt: int, shuffle: bool,
                  rng: np.random.RandomState,
-                 drop_last: bool = True) -> Iterable[dict]:
+                 drop_last: bool = True,
+                 sampler=None, epoch: int = 0) -> Iterable[dict]:
     """Static-shape batches. drop_last=True matches the reference DataLoaders
     (train.py:589-603 set drop_last=True for both train and val-loss gens).
     With drop_last=False the tail batch is padded to batch_size by wrapping
     around; `n_valid` marks how many leading samples are real and `indices`
     carries the dataset indices — eval loops score only the real ones, so
     every sample is seen exactly once (the reference EvalCallback scores every
-    image, utils/callbacks.py:222-265)."""
-    idx = np.arange(len(dataset))
-    if shuffle:
-        rng.shuffle(idx)
+    image, utils/callbacks.py:222-265).
+
+    Pass a data.sampler.DistributedSampler (+ the epoch) to iterate only this
+    process's shard of a multi-host run (reference DistributedSampler,
+    train.py:576-580); batch_size is then the PER-PROCESS batch."""
+    if sampler is not None:
+        idx = sampler.epoch_indices(epoch)
+    else:
+        idx = np.arange(len(dataset))
+        if shuffle:
+            rng.shuffle(idx)
     end = len(idx) - batch_size + 1 if drop_last else len(idx)
     for s in range(0, max(end, 0 if drop_last else 1), batch_size):
         take = idx[s:s + batch_size]
@@ -99,16 +107,26 @@ def batches_from(dataset: WaterScenesDataset, cfg: AchelousConfig,
 _HOST_ONLY_KEYS = ("radar_points", "radar_points_valid", "n_valid", "indices")
 
 
-def device_batch(batch: dict, cfg: AchelousConfig) -> dict:
+def device_batch(batch: dict, cfg: AchelousConfig, mesh=None) -> dict:
     """Host batch -> device arrays; splat radar points on device if the
-    batch carries raw points instead of pre-rasterized maps."""
-    out = {k: jnp.asarray(v) for k, v in batch.items()
-           if k not in _HOST_ONLY_KEYS}
+    batch carries raw points instead of pre-rasterized maps.
+
+    With a mesh, every array is placed batch-sharded over the mesh's data
+    axis — on multi-process runs each host contributes only its local shard
+    (parallel/mesh.py:global_shard_batch), the SPMD replacement for the
+    reference's per-rank DataLoader (train.py:576-603)."""
+    if mesh is not None:
+        from achelous_tpu.parallel.mesh import global_shard_batch
+        place = lambda tree: global_shard_batch(tree, mesh)  # noqa: E731
+    else:
+        place = lambda tree: jax.tree_util.tree_map(jnp.asarray, tree)  # noqa: E731
+    out = place({k: v for k, v in batch.items() if k not in _HOST_ONLY_KEYS})
     if "radar" not in out:
-        out["radar"] = jax.vmap(
-            lambda p, v: splat_radar_fast(p, v, resolution=cfg.resolution))(
-            jnp.asarray(batch["radar_points"]),
-            jnp.asarray(batch["radar_points_valid"]))
+        pts = place({"p": batch["radar_points"],
+                     "v": batch["radar_points_valid"]})
+        out["radar"] = jax.jit(jax.vmap(
+            lambda p, v: splat_radar_fast(p, v, resolution=cfg.resolution)))(
+            pts["p"], pts["v"])
     return out
 
 
@@ -216,13 +234,29 @@ def fit(model, cfg: AchelousConfig, tcfg: TrainConfig,
         log_dir: str = "logs", epochs: Optional[int] = None,
         eval_period: int = 10, save_period: int = 10,
         state: Optional[TrainState] = None, seed: int = 0,
+        mesh=None,
         progress: Callable[[str], None] = print) -> TrainState:
-    """Full training run (reference train.py:637-703 + fit_one_epoch)."""
+    """Full training run (reference train.py:637-703 + fit_one_epoch).
+
+    Pass a `jax.sharding.Mesh` to train data-parallel: params are
+    replicated, batches sharded over the mesh's data axis, and on
+    multi-process (multi-host) runs each process loads only its
+    DistributedSampler shard with tcfg.batch_size interpreted as the
+    GLOBAL batch (reference DDP path, train.py:313-324, 576-580)."""
     from achelous_tpu.models.achelous import example_inputs
     epochs = epochs or tcfg.epochs
     if state is None:
         state = create_train_state(model, cfg, tcfg, jax.random.PRNGKey(seed),
                                    example_inputs(cfg, 2))
+    sampler, local_bs = None, tcfg.batch_size
+    if mesh is not None:
+        from achelous_tpu.data.sampler import DistributedSampler
+        from achelous_tpu.parallel.mesh import (local_batch_size,
+                                                replicate_state)
+        state = replicate_state(state, mesh)
+        if jax.process_count() > 1:
+            local_bs = local_batch_size(tcfg.batch_size, mesh)
+            sampler = DistributedSampler(len(train_ds), seed=seed)
     init_lr, min_lr = scale_lr(tcfg.lr_init, tcfg.batch_size, tcfg.optimizer)
     lr_fn = get_lr_scheduler(tcfg.lr_decay, init_lr, min_lr, epochs)
     train_step = jax.jit(make_train_step(model, cfg, tcfg))
@@ -238,9 +272,10 @@ def fit(model, cfg: AchelousConfig, tcfg: TrainConfig,
         t0 = time.time()
         tr_metrics, n_b = None, 0
         freeze = jnp.asarray(epoch < tcfg.freeze_epochs)
-        for batch in batches_from(train_ds, cfg, tcfg.batch_size, tcfg.max_gt,
-                                  True, rng):
-            state, m = train_step(state, device_batch(batch, cfg), lr, freeze)
+        for batch in batches_from(train_ds, cfg, local_bs, tcfg.max_gt,
+                                  True, rng, sampler=sampler, epoch=epoch):
+            state, m = train_step(state, device_batch(batch, cfg, mesh), lr,
+                                  freeze)
             tr_metrics = m if tr_metrics is None else \
                 jax.tree_util.tree_map(jnp.add, tr_metrics, m)
             n_b += 1
@@ -248,10 +283,15 @@ def fit(model, cfg: AchelousConfig, tcfg: TrainConfig,
 
         val = {}
         if val_ds is not None:
+            val_sampler = None
+            if sampler is not None:
+                from achelous_tpu.data.sampler import DistributedSampler
+                val_sampler = DistributedSampler(len(val_ds), shuffle=False)
             vm, n_v = None, 0
-            for batch in batches_from(val_ds, cfg, tcfg.batch_size,
-                                      tcfg.max_gt, False, rng):
-                m = eval_step(state, device_batch(batch, cfg))
+            for batch in batches_from(val_ds, cfg, local_bs,
+                                      tcfg.max_gt, False, rng,
+                                      sampler=val_sampler, epoch=epoch):
+                m = eval_step(state, device_batch(batch, cfg, mesh))
                 vm = m if vm is None else jax.tree_util.tree_map(jnp.add, vm, m)
                 n_v += 1
             val = {f"val_{k}": float(v) / max(n_v, 1) for k, v in (vm or {}).items()}

@@ -1,0 +1,146 @@
+"""Multi-host input sharding (VERDICT r1 item 10).
+
+The reference shards data across DDP ranks with torch's DistributedSampler
+(train.py:576-580).  These tests pin the TPU-native equivalent:
+data.sampler.DistributedSampler (simulated with explicit rank/replica
+parameters — one process here) and the mesh-aware batch placement in
+parallel/mesh.py + train/loop.device_batch.
+"""
+import jax
+import numpy as np
+
+from achelous_tpu.data.sampler import DistributedSampler
+from achelous_tpu.parallel.mesh import (global_shard_batch, local_batch_size,
+                                        make_mesh)
+
+
+def test_sampler_partition_covers_dataset():
+    n, r = 103, 4
+    shards = [DistributedSampler(n, num_replicas=r, rank=i, seed=5)
+              .epoch_indices(epoch=2) for i in range(r)]
+    lens = {len(s) for s in shards}
+    assert lens == {26}                      # ceil(103/4), equal per rank
+    union = np.concatenate(shards)
+    # padding wraps: 104 draws over 103 indices -> all covered, one dup
+    assert len(np.unique(union)) == n
+    assert len(union) == 104
+
+
+def test_sampler_drop_last_truncates():
+    n, r = 103, 4
+    shards = [DistributedSampler(n, num_replicas=r, rank=i, drop_last=True)
+              .epoch_indices(0) for i in range(r)]
+    assert all(len(s) == 25 for s in shards)
+    union = np.concatenate(shards)
+    assert len(union) == len(np.unique(union)) == 100   # disjoint
+
+
+def test_sampler_interleaved_split_matches_torch():
+    """rank r must take perm[r::R] of the shared permutation — torch
+    DistributedSampler's split."""
+    n, r = 64, 4
+    perm = np.random.RandomState(9 + 3).permutation(n)   # seed + epoch
+    for rank in range(r):
+        got = DistributedSampler(n, num_replicas=r, rank=rank,
+                                 seed=9).epoch_indices(3)
+        np.testing.assert_array_equal(got, perm[rank::r])
+
+
+def test_sampler_deterministic_across_hosts_and_epochs():
+    a = DistributedSampler(50, num_replicas=2, rank=0, seed=1)
+    b = DistributedSampler(50, num_replicas=2, rank=0, seed=1)
+    np.testing.assert_array_equal(a.epoch_indices(4), b.epoch_indices(4))
+    assert not np.array_equal(a.epoch_indices(4), a.epoch_indices(5))
+
+
+def test_sampler_no_shuffle_is_sequential():
+    got = DistributedSampler(10, num_replicas=2, rank=1,
+                             shuffle=False).epoch_indices(0)
+    np.testing.assert_array_equal(got, [1, 3, 5, 7, 9])
+
+
+def test_global_shard_batch_places_on_mesh():
+    mesh = make_mesh(8)
+    batch = {"image": np.arange(8 * 4 * 4 * 3, dtype=np.float32)
+             .reshape(8, 4, 4, 3),
+             "labels": np.arange(8, dtype=np.int32)}
+    out = global_shard_batch(batch, mesh)
+    for v in out.values():
+        assert v.sharding.is_equivalent_to(
+            jax.sharding.NamedSharding(mesh,
+                                       jax.sharding.PartitionSpec("data")),
+            v.ndim)
+        # one batch row per device
+        assert v.addressable_shards[0].data.shape[0] == 1
+    np.testing.assert_array_equal(np.asarray(out["image"]), batch["image"])
+
+
+def test_local_batch_size_single_process():
+    mesh = make_mesh(8)
+    assert local_batch_size(32, mesh) == 32   # one process owns all devices
+
+
+def test_device_batch_with_mesh_shards_and_splats():
+    """device_batch(mesh=...) must shard every array AND run the on-device
+    radar splat on sharded points."""
+    from achelous_tpu.core.config import AchelousConfig
+    from achelous_tpu.train.loop import device_batch
+
+    cfg = AchelousConfig(resolution=64, pc_points=16)
+    mesh = make_mesh(8)
+    batch = {
+        "image": np.zeros((8, 64, 64, 3), np.float32),
+        "radar_points": np.zeros((8, 16, 5), np.float32),
+        "radar_points_valid": np.ones((8, 16), bool),
+        "n_valid": 8,
+        "indices": np.arange(8),
+    }
+    out = device_batch(batch, cfg, mesh=mesh)
+    assert out["radar"].shape == (8, 64, 64, 3)
+    spec = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+    assert out["image"].sharding.is_equivalent_to(spec, 4)
+    assert out["radar"].sharding.is_equivalent_to(spec, 4)
+    assert "n_valid" not in out and "indices" not in out
+
+
+class _FakeDataset:
+    """In-memory dataset in the collate() sample schema."""
+
+    def __init__(self, cfg, n):
+        self.cfg, self.n = cfg, n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        r = self.cfg.resolution
+        return {
+            "image": np.full((r, r, 3), i, np.float32),
+            "pc": np.zeros((self.cfg.pc_points, self.cfg.pc_channels),
+                           np.float32),
+            "pc_labels": np.zeros(self.cfg.pc_points, np.int32),
+            "seg": np.zeros((r, r), np.int32),
+            "wl": np.zeros((r, r), np.int32),
+            "boxes": np.array([[10, 10, 20, 20, 0]], np.float32),
+            "radar_map": np.zeros((r, r, 3), np.float32),
+        }
+
+
+def test_batches_from_uses_sampler_shard():
+    """batches_from(sampler=...) iterates exactly this rank's indices; the
+    two ranks together cover the whole dataset."""
+    from achelous_tpu.core.config import AchelousConfig
+    from achelous_tpu.train.loop import batches_from
+
+    cfg = AchelousConfig(resolution=64, pc_points=16)
+    ds = _FakeDataset(cfg, 12)
+    seen = []
+    for rank in range(2):
+        s = DistributedSampler(len(ds), num_replicas=2, rank=rank, seed=0)
+        shard = []
+        for b in batches_from(ds, cfg, 2, 8, True, np.random.RandomState(0),
+                              sampler=s, epoch=1):
+            shard.extend(b["indices"])
+        np.testing.assert_array_equal(shard, s.epoch_indices(1))
+        seen.extend(shard)
+    assert sorted(set(seen)) == list(range(12))   # both shards cover all
