@@ -1,0 +1,144 @@
+"""Reproducible benchmark sweep backing ARCHITECTURE.md's performance table.
+
+Sweeps the BASELINE.md headline configs x batch size over
+  * 5-task inference (fwd + decode + NMS, bf16) — the reference FPS
+    convention (nets/Achelous.py:111-116, README.md:115-116), and
+  * the full jitted train step (SimOTA + 4-task losses + SGD + EMA),
+and writes one JSON document (default: BENCH_SWEEP.json at the repo root —
+committed once per round so the perf claims are reproducible artifacts,
+VERDICT r1 item 9).
+
+Usage:
+  python tools/bench_sweep.py [--out BENCH_SWEEP.json] [--configs EN-GDF-PN-S0,...]
+         [--iters 100] [--skip-train]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# (name, reference RTX A4000 fps from README.md:80-94; None = not published)
+DEFAULT_CONFIGS = [
+    ("EN-GDF-PN-S0", 61.3),    # README.md:81 — the flagship
+    ("EN-GDF-PN2-S0", 57.7),   # README.md:83
+    ("MV-GDF-PN-S1", 55.8),    # README.md:90
+    ("EN-CDF-PN2-S2", None),   # best pc-mIoU family at S2 (README.md:101)
+]
+
+
+def parse_name(name: str):
+    backbone, neck, pc, phi = name.split("-")
+    return dict(backbone=backbone.lower(), neck=neck.lower(),
+                pc_model=pc.lower(), phi=phi)
+
+
+def bench_config(name: str, ref_fps, iters: int, with_train: bool) -> dict:
+    from achelous_tpu.core.config import AchelousConfig
+    from achelous_tpu.models.achelous import create_model
+    from achelous_tpu.ops.postprocess import decode_outputs, non_max_suppression
+    from achelous_tpu.utils.profiling import count_params, flops_of, fps
+
+    cfg = AchelousConfig(resolution=320, dtype=jnp.bfloat16,
+                         **parse_name(name))
+    model = create_model(cfg)
+    r = cfg.resolution
+    rng = np.random.RandomState(0)
+
+    def inputs(bs):
+        return (jnp.asarray(rng.rand(bs, r, r, 3), jnp.bfloat16),
+                jnp.asarray(rng.rand(bs, r, r, 3), jnp.bfloat16),
+                jnp.asarray(rng.rand(bs, cfg.pc_points, cfg.pc_channels),
+                            jnp.bfloat16))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *inputs(1))
+
+    def infer(v, image, radar, pc):
+        det, sem, lane, pcseg = model.apply(v, image, radar, pc)
+        decoded = decode_outputs(det, (r, r))
+        return (non_max_suppression(decoded, cfg.num_det, 0.35, 0.35),
+                sem, lane, pcseg)
+
+    out = {"config": name, "ref_fps_a4000": ref_fps,
+           "params": count_params(variables["params"])}
+    try:
+        out["flops_bs1"] = flops_of(infer, variables, *inputs(1))
+    except Exception:
+        out["flops_bs1"] = None
+
+    for bs in (1, 32):
+        f = fps(infer, variables, *inputs(bs), iters=iters)
+        out[f"infer_bs{bs}_batches_per_s"] = round(f, 2)
+        out[f"infer_bs{bs}_fps"] = round(f * bs, 1)
+    if ref_fps:
+        out["vs_a4000_bs1"] = round(out["infer_bs1_fps"] / ref_fps, 2)
+
+    if with_train:
+        from achelous_tpu.data.synthetic import synthetic_batch
+        from achelous_tpu.train.train_state import (TrainConfig,
+                                                    create_train_state,
+                                                    make_train_step)
+        tcfg = TrainConfig(batch_size=32)
+        state = create_train_state(model, cfg, tcfg, jax.random.PRNGKey(0),
+                                   inputs(2))
+        step = jax.jit(make_train_step(model, cfg, tcfg))
+        batch = {k: jnp.asarray(v)
+                 for k, v in synthetic_batch(cfg, 32, tcfg.max_gt).items()}
+        lr = jnp.float32(1e-3)
+        for _ in range(3):
+            state, m = step(state, batch, lr)
+        jax.block_until_ready(m)
+        t0 = time.perf_counter()
+        n = max(iters // 5, 10)
+        for _ in range(n):
+            state, m = step(state, batch, lr)
+        jax.block_until_ready(m)
+        sps = n / (time.perf_counter() - t0)
+        out["train_bs32_steps_per_s"] = round(sps, 3)
+        out["train_bs32_samples_per_s"] = round(sps * 32, 1)
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(__file__), "..", "BENCH_SWEEP.json"))
+    ap.add_argument("--configs", default=None,
+                    help="comma-separated (default: the 4 BASELINE configs)")
+    ap.add_argument("--iters", type=int, default=100)
+    ap.add_argument("--skip-train", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.configs:
+        ref = dict(DEFAULT_CONFIGS)
+        todo = [(c, ref.get(c)) for c in args.configs.split(",")]
+    else:
+        todo = DEFAULT_CONFIGS
+
+    dev = jax.devices()[0]
+    doc = {"device": f"{dev.platform}:{dev.device_kind}",
+           "n_devices": jax.device_count(),
+           "resolution": 320, "dtype": "bfloat16",
+           "results": []}
+    for name, ref_fps in todo:
+        print(f"== {name} ==", flush=True)
+        res = bench_config(name, ref_fps, args.iters,
+                           with_train=not args.skip_train)
+        print(json.dumps(res), flush=True)
+        doc["results"].append(res)
+
+    with open(args.out, "w") as f:
+        json.dump(doc, f, indent=2)
+        f.write("\n")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
