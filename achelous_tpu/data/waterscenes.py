@@ -117,11 +117,12 @@ class WaterScenesDataset:
     """Host-side sample loader; batches assemble with `collate`."""
 
     def __init__(self, cfg: AchelousConfig, paths: WaterScenesPaths,
-                 max_gt: int = 50, seed: int = 0):
+                 max_gt: int = 50, seed: int = 0, augment=None):
         self.cfg = cfg
         self.paths = paths
         self.max_gt = max_gt
         self.rng = np.random.RandomState(seed)
+        self.augment = augment        # data.augment.AugmentConfig or None
         with open(paths.annotation_file, encoding="utf-8") as f:
             self.lines = [l.strip() for l in f if l.strip()]
 
@@ -143,6 +144,11 @@ class WaterScenesDataset:
         image = Image.open(parts[0])
         if image.mode != "RGB":
             image = image.convert("RGB")
+        if self.augment is not None:
+            from achelous_tpu.data.augment import hsv_jitter
+            image = Image.fromarray(hsv_jitter(
+                np.asarray(image), self.rng, self.augment.hue,
+                self.augment.sat, self.augment.val))
         iw, ih = image.size
         scale = min(r / iw, r / ih)
         dx, dy = (r - int(iw * scale)) // 2, (r - int(ih * scale)) // 2
@@ -215,10 +221,14 @@ class WaterScenesDataset:
                 pc, pc_labels = resample_pointcloud(
                     feats, labs, cfg.pc_points, self.rng)
 
-        return {"image": img, "seg": seg, "wl": wl, "boxes": boxes,
-                "radar_map": radar_map, "radar_points": radar_points,
-                "radar_points_valid": radar_points_valid,
-                "pc": pc, "pc_labels": pc_labels, "name": name}
+        sample = {"image": img, "seg": seg, "wl": wl, "boxes": boxes,
+                  "radar_map": radar_map, "radar_points": radar_points,
+                  "radar_points_valid": radar_points_valid,
+                  "pc": pc, "pc_labels": pc_labels, "name": name}
+        if self.augment is not None:
+            from achelous_tpu.data.augment import augment_sample
+            sample = augment_sample(sample, r, self.augment, self.rng)
+        return sample
 
     def original_masks(self, index: int):
         """Original-resolution (un-letterboxed) seg + waterline label maps.

@@ -56,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "detection_loss.py:466-485); 'none' keeps flax "
                         "fan-in variance-scaling defaults")
     p.add_argument("--init_gain", type=float, default=0.02)
+    p.add_argument("--augment", type=str2bool, default=False,
+                   help="HSV jitter + modality-consistent horizontal flip "
+                        "on the train set (data/augment.py; the reference's "
+                        "augmentations are dead code, see ARCHITECTURE.md "
+                        "deviation 7)")
     p.add_argument("--resume", default="",
                    help="checkpoint name under <log_dir>/ckpt to resume from")
     return p
@@ -94,7 +99,11 @@ def main(argv=None):
             radar_map_dir=os.path.join(args.data_root, "radar_map"),
             radar_csv_dir=os.path.join(args.data_root, "radar"))
 
-    train_ds = WaterScenesDataset(cfg, paths(args.annotation))
+    acfg = None
+    if args.augment:
+        from achelous_tpu.data.augment import AugmentConfig
+        acfg = AugmentConfig()
+    train_ds = WaterScenesDataset(cfg, paths(args.annotation), augment=acfg)
     val_path = os.path.join(args.data_root, args.val_annotation)
     val_ds = WaterScenesDataset(cfg, paths(args.val_annotation)) \
         if os.path.exists(val_path) else None
