@@ -104,6 +104,12 @@ class DeformableConv2d(nn.Module):
     stride: int = 1
     padding: int = 1
     use_bias: bool = False
+    remat: bool = True        # recompute the bilinear gather in backward:
+                              # its [B, Ho*Wo*K, C] corner temporaries are
+                              # the largest HLO-temp allocations of the whole
+                              # train step (OOM at bs=32 on one v5e without
+                              # this), while RCNet is a rounding error of the
+                              # forward FLOPs — the canonical remat trade
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -125,7 +131,10 @@ class DeformableConv2d(nn.Module):
                             (kh, kw, x.shape[-1], self.features), jnp.float32)
         bias = (self.param("bias", nn.initializers.zeros, (self.features,),
                            jnp.float32) if self.use_bias else None)
-        return deform_conv2d(x, offset, modulator,
-                             weight.astype(self.dtype),
-                             None if bias is None else bias.astype(self.dtype),
-                             stride=self.stride, padding=self.padding)
+        fn = deform_conv2d
+        if self.remat:
+            fn = jax.checkpoint(deform_conv2d, static_argnums=(5, 6))
+        return fn(x, offset, modulator,
+                  weight.astype(self.dtype),
+                  None if bias is None else bias.astype(self.dtype),
+                  self.stride, self.padding)

@@ -85,24 +85,34 @@ def bench_config(name: str, ref_fps, iters: int, with_train: bool) -> dict:
         from achelous_tpu.train.train_state import (TrainConfig,
                                                     create_train_state,
                                                     make_train_step)
-        tcfg = TrainConfig(batch_size=32)
-        state = create_train_state(model, cfg, tcfg, jax.random.PRNGKey(0),
-                                   inputs(2))
-        step = jax.jit(make_train_step(model, cfg, tcfg))
-        batch = {k: jnp.asarray(v)
-                 for k, v in synthetic_batch(cfg, 32, tcfg.max_gt).items()}
-        lr = jnp.float32(1e-3)
-        for _ in range(3):
-            state, m = step(state, batch, lr)
-        jax.block_until_ready(m)
-        t0 = time.perf_counter()
-        n = max(iters // 5, 10)
-        for _ in range(n):
-            state, m = step(state, batch, lr)
-        jax.block_until_ready(m)
-        sps = n / (time.perf_counter() - t0)
-        out["train_bs32_steps_per_s"] = round(sps, 3)
-        out["train_bs32_samples_per_s"] = round(sps * 32, 1)
+        bs = 32
+        while bs >= 4:
+            try:
+                tcfg = TrainConfig(batch_size=bs)
+                state = create_train_state(model, cfg, tcfg,
+                                           jax.random.PRNGKey(0), inputs(2))
+                step = jax.jit(make_train_step(model, cfg, tcfg))
+                batch = {k: jnp.asarray(v) for k, v in
+                         synthetic_batch(cfg, bs, tcfg.max_gt).items()}
+                lr = jnp.float32(1e-3)
+                for _ in range(3):
+                    state, m = step(state, batch, lr)
+                jax.block_until_ready(m)
+                t0 = time.perf_counter()
+                n = max(iters // 5, 10)
+                for _ in range(n):
+                    state, m = step(state, batch, lr)
+                jax.block_until_ready(m)
+                sps = n / (time.perf_counter() - t0)
+                out["train_bs"] = bs
+                out["train_steps_per_s"] = round(sps, 3)
+                out["train_samples_per_s"] = round(sps * bs, 1)
+                break
+            except Exception as e:       # HBM OOM at this batch — halve
+                print(f"train bs={bs} failed "
+                      f"({type(e).__name__}); retrying bs={bs // 2}",
+                      flush=True)
+                bs //= 2
     return out
 
 
