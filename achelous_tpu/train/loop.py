@@ -272,13 +272,16 @@ def fit(model, cfg: AchelousConfig, tcfg: TrainConfig,
         t0 = time.time()
         tr_metrics, n_b = None, 0
         freeze = jnp.asarray(epoch < tcfg.freeze_epochs)
-        for batch in batches_from(train_ds, cfg, local_bs, tcfg.max_gt,
-                                  True, rng, sampler=sampler, epoch=epoch):
-            state, m = train_step(state, device_batch(batch, cfg, mesh), lr,
-                                  freeze)
-            tr_metrics = m if tr_metrics is None else \
-                jax.tree_util.tree_map(jnp.add, tr_metrics, m)
-            n_b += 1
+        from achelous_tpu.data.prefetch import prefetch
+        with prefetch(batches_from(train_ds, cfg, local_bs, tcfg.max_gt,
+                                   True, rng, sampler=sampler, epoch=epoch),
+                      depth=2) as batches:
+            for batch in batches:
+                state, m = train_step(state, device_batch(batch, cfg, mesh),
+                                      lr, freeze)
+                tr_metrics = m if tr_metrics is None else \
+                    jax.tree_util.tree_map(jnp.add, tr_metrics, m)
+                n_b += 1
         tr = {k: float(v) / max(n_b, 1) for k, v in (tr_metrics or {}).items()}
 
         val = {}
