@@ -12,8 +12,14 @@ from typing import Callable
 
 
 def yolox_warm_cos_lr(lr: float, min_lr: float, total_epochs: int,
-                      warmup_ratio: float = 0.1, warmup_lr_ratio: float = 0.1,
-                      no_aug_ratio: float = 0.3) -> Callable[[int], float]:
+                      warmup_ratio: float = 0.05,
+                      warmup_lr_ratio: float = 0.1,
+                      no_aug_ratio: float = 0.05) -> Callable[[int], float]:
+    """Defaults match the reference get_lr_scheduler signature exactly
+    (detection_loss.py:487: warmup_iters_ratio=0.05, warmup_lr_ratio=0.1,
+    no_aug_iter_ratio=0.05; train.py:523 calls it with the defaults) —
+    parity pinned against the imported reference function in
+    tests/test_schedule_parity.py."""
     warmup_total = min(max(warmup_ratio * total_epochs, 1), 3)
     warmup_lr_start = max(warmup_lr_ratio * lr, 1e-6)
     no_aug = min(max(no_aug_ratio * total_epochs, 1), 15)
