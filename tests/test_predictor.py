@@ -55,6 +55,27 @@ def test_deploy_mode_predictor_runs(pil_img):
     assert out["semantic"].shape == (96, 128)
 
 
+def test_cli_run_one_writes_artifacts(predictor, pil_img, tmp_path):
+    """predict_cli.run_one: json summary + mask npz + rendered jpg
+    (the reference predict.py 'predict' mode surface)."""
+    import json
+
+    from achelous_tpu import predict_cli
+
+    img_path = str(tmp_path / "frame.jpg")
+    pil_img.save(img_path)
+    args = predict_cli.build_parser().parse_args(
+        ["--image", img_path, "--out", str(tmp_path / "out")])
+    summary = predict_cli.run_one(predictor, args, img_path,
+                                  str(tmp_path / "out"))
+    assert summary["num_detections"] == len(summary["detections"])
+    saved = json.load(open(tmp_path / "out" / "frame.json"))
+    assert saved["image"] == img_path
+    masks = np.load(tmp_path / "out" / "frame_masks.npz")
+    assert masks["semantic"].shape == (96, 128)
+    assert (tmp_path / "out" / "frame_vis.jpg").exists()
+
+
 def test_export_stablehlo_roundtrip(predictor, tmp_path):
     """The serialized artifact must reload and reproduce the jitted outputs
     (replaces the reference's convert_to_onnx, achelous.py:557-593)."""
