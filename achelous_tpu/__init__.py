@@ -5,7 +5,22 @@ GuanRunwei/Achelous (water-surface 5-task perception from monocular camera +
 4D mmWave radar), designed TPU-first: NHWC layouts, static shapes, fused
 kernels, SPMD sharding over device meshes.
 """
-from achelous_tpu.core.config import AchelousConfig, WIDTHS
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compile cache: first TPU compiles of the full model take
+# minutes (remote compile); warm reruns are seconds.  Opt out by setting
+# ACHELOUS_NO_COMPILE_CACHE=1 or pre-configuring jax yourself.
+if (not _os.environ.get("ACHELOUS_NO_COMPILE_CACHE")
+        and _jax.config.jax_compilation_cache_dir is None):
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                        _os.path.expanduser("~/.cache/achelous_jax_cache")))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from achelous_tpu.core.config import AchelousConfig, WIDTHS  # noqa: E402
 
 __version__ = "0.1.0"
 __all__ = ["AchelousConfig", "WIDTHS"]

@@ -184,16 +184,25 @@ class AchelousPredictor:
         pc = self.prepare_pointcloud(radar_csv)
         *_, det_maps = self._infer(self.variables, image, radar, pc)
         r = self.cfg.resolution
-        from achelous_tpu.ops.resize import resize_bilinear
-        composite = jnp.zeros((r, r))
-        for m in det_maps:
-            m = m.astype(jnp.float32)
-            score = (jax.nn.sigmoid(m[0, ..., 5:]).max(-1) *
-                     jax.nn.sigmoid(m[0, ..., 4]))
-            up = resize_bilinear(score[None, ..., None], (r, r),
-                                 align_corners=False)[0, ..., 0]
-            composite = jnp.maximum(composite, up)
-        return np.asarray(composite)
+
+        # one jitted composite — NEVER eager ops here: a single eager device
+        # op between jitted calls degrades all subsequent jit dispatch on
+        # the axon backend to a constant ~1.7 s (bisected 2026-08-17; see
+        # CLAUDE.md known backend bugs)
+        @jax.jit
+        def composite_fn(maps):
+            from achelous_tpu.ops.resize import resize_bilinear
+            composite = jnp.zeros((r, r))
+            for m in maps:
+                m = m.astype(jnp.float32)
+                score = (jax.nn.sigmoid(m[0, ..., 5:]).max(-1) *
+                         jax.nn.sigmoid(m[0, ..., 4]))
+                up = resize_bilinear(score[None, ..., None], (r, r),
+                                     align_corners=False)[0, ..., 0]
+                composite = jnp.maximum(composite, up)
+            return composite
+
+        return np.asarray(composite_fn(det_maps))
 
 
 def export_stablehlo(predictor: AchelousPredictor, path: str) -> str:

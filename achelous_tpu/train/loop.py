@@ -229,6 +229,13 @@ def evaluate_epoch(model, cfg: AchelousConfig, state: TrainState,
             "miou_pc": pc_mean_iou(pc_conf)}
 
 
+# Metric accumulation must be JITTED: a single eager device op between
+# jitted steps degrades all subsequent jit dispatch on the axon TPU backend
+# to a constant ~1.7 s/call (bisected 2026-08-17, see CLAUDE.md known
+# backend bugs).
+_metric_add = jax.jit(lambda a, b: jax.tree_util.tree_map(jnp.add, a, b))
+
+
 def fit(model, cfg: AchelousConfig, tcfg: TrainConfig,
         train_ds: WaterScenesDataset, val_ds: Optional[WaterScenesDataset],
         log_dir: str = "logs", epochs: Optional[int] = None,
@@ -280,7 +287,7 @@ def fit(model, cfg: AchelousConfig, tcfg: TrainConfig,
                 state, m = train_step(state, device_batch(batch, cfg, mesh),
                                       lr, freeze)
                 tr_metrics = m if tr_metrics is None else \
-                    jax.tree_util.tree_map(jnp.add, tr_metrics, m)
+                    _metric_add(tr_metrics, m)
                 n_b += 1
         tr = {k: float(v) / max(n_b, 1) for k, v in (tr_metrics or {}).items()}
 
@@ -295,7 +302,7 @@ def fit(model, cfg: AchelousConfig, tcfg: TrainConfig,
                                       tcfg.max_gt, False, rng,
                                       sampler=val_sampler, epoch=epoch):
                 m = eval_step(state, device_batch(batch, cfg, mesh))
-                vm = m if vm is None else jax.tree_util.tree_map(jnp.add, vm, m)
+                vm = m if vm is None else _metric_add(vm, m)
                 n_v += 1
             val = {f"val_{k}": float(v) / max(n_v, 1) for k, v in (vm or {}).items()}
             if (epoch + 1) % eval_period == 0 or epoch == epochs - 1:

@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def main(argv=None):
@@ -45,6 +46,7 @@ def main(argv=None):
     dev = jax.devices()[0]
     out = {"device": f"{dev.platform}:{dev.device_kind}", "bs": args.bs,
            "config": cfg.name, "results": {}}
+    final_losses = {}
 
     for mtl in ("sum", "mgda", "cagrad"):
         tcfg = TrainConfig(batch_size=args.bs, mtl=mtl)
@@ -65,11 +67,20 @@ def main(argv=None):
             state, m = step(state, batch, lr)
         jax.block_until_ready(m)
         ms = (time.perf_counter() - t0) / args.iters * 1000
+        # NB: no device->host transfer may happen until EVERY timed round is
+        # done — on the axon backend a single D2H fetch (device_get, float(),
+        # even copy_to_host_async) permanently degrades all subsequent jit
+        # dispatch in the process to ~1-1.7 s/call (bisected 2026-08-17, see
+        # CLAUDE.md known backend bugs).  Losses are stashed as device
+        # arrays and checked after the loop.
         out["results"][mtl] = {"step_ms": round(ms, 2),
-                               "compile_s": round(compile_s, 1),
-                               "loss_finite": bool(jnp.isfinite(m["loss"]))}
+                               "compile_s": round(compile_s, 1)}
+        final_losses[mtl] = m["loss"]
         print(f"{mtl}: {ms:.2f} ms/step", flush=True)
 
+    for mtl, loss in final_losses.items():   # safe: all timing is done
+        out["results"][mtl]["loss_finite"] = bool(
+            np.isfinite(jax.device_get(loss)))
     s = out["results"]["sum"]["step_ms"]
     for mtl in ("mgda", "cagrad"):
         out["results"][mtl]["overhead_vs_sum"] = round(
