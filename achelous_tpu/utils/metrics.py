@@ -69,16 +69,23 @@ def pc_mean_iou(confusion: np.ndarray) -> float:
 # ---------------------------------------------------------------------------
 
 
-def box_iou_xyxy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """IoU matrix between [N,4] and [M,4] xyxy boxes."""
+def box_iou_xyxy(a: np.ndarray, b: np.ndarray,
+                 plus_one: bool = False) -> np.ndarray:
+    """IoU matrix between [N,4] and [M,4] xyxy boxes.
+
+    plus_one=True uses the classic VOC-devkit pixel convention
+    (w = x2 - x1 + 1; reference utils_map.py:468-474) — the VOC mAP path
+    needs it for exact parity; COCO/pycocotools use the continuous
+    convention (plus_one=False)."""
     if len(a) == 0 or len(b) == 0:
         return np.zeros((len(a), len(b)))
+    e = 1.0 if plus_one else 0.0
     lt = np.maximum(a[:, None, :2], b[None, :, :2])
     rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
-    wh = np.clip(rb - lt, 0, None)
+    wh = np.clip(rb - lt + e, 0, None)
     inter = wh[..., 0] * wh[..., 1]
-    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
-    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    area_a = (a[:, 2] - a[:, 0] + e) * (a[:, 3] - a[:, 1] + e)
+    area_b = (b[:, 2] - b[:, 0] + e) * (b[:, 3] - b[:, 1] + e)
     return inter / np.maximum(area_a[:, None] + area_b[None] - inter, 1e-12)
 
 
@@ -137,7 +144,8 @@ def _match_class(dets: List[Tuple[float, np.ndarray]],
         if gt is None or len(gt) == 0:
             fp[i] = 1
             continue
-        ious = box_iou_xyxy(box[None], gt)[0]
+        # VOC path uses the devkit's +1-pixel IoU (utils_map.py:468-474)
+        ious = box_iou_xyxy(box[None], gt, plus_one=not coco)[0]
         if coco:
             free = ~matched[img] & (ious >= iou_thr)
             if free.any():
