@@ -94,3 +94,10 @@ class boxes:
 
 
 batched_nms = boxes.batched_nms
+
+
+def nms(bxs, scores, iou_threshold):
+    """Single-class greedy NMS (torchvision.ops.nms semantics)."""
+    return boxes.batched_nms(bxs, scores,
+                             torch.zeros(len(bxs), dtype=torch.long),
+                             iou_threshold)
