@@ -30,6 +30,15 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
+@pytest.fixture(autouse=True)
+def _seed_torch():
+    """Deterministic torch inits: with random weights, fp32-vs-torch
+    tolerances are distributional — an unlucky draw can exceed 2e-3 rtol
+    (observed once on mobileone).  Seeding removes the flake without
+    loosening the tolerance."""
+    torch.manual_seed(1234)
+
+
 def t2j(t):
     return np.asarray(t.detach().numpy())
 
