@@ -114,10 +114,16 @@ class MobileViTBlock(nn.Module):
         # 'b (h ph) (w pw) d -> b (ph pw) (h w) d'
         x = x.reshape(b, h, ph, w, pw, d)
         x = x.transpose(0, 2, 4, 1, 3, 5).reshape(b, ph * pw, h * w, d)
+        # remat: the stored [B, P, heads, N, N] attention probabilities are
+        # the dominant train-memory term at 320² (bs=32 OOM'd one v5e);
+        # recomputing them in backward costs a rounding error of the FLOPs.
+        # nn.remat is transparent to param paths, so torch transplant
+        # mappings are unchanged.
+        TB = nn.remat(TransformerBlock)
         for i in range(self.depth):
-            x = TransformerBlock(self.dim, heads=4, dim_head=8,
-                                 mlp_dim=self.mlp_dim, dtype=self.dtype,
-                                 name=f"transformer_{i}")(x)
+            x = TB(self.dim, heads=4, dim_head=8,
+                   mlp_dim=self.mlp_dim, dtype=self.dtype,
+                   name=f"transformer_{i}")(x)
         x = x.reshape(b, ph, pw, h, w, d)
         x = x.transpose(0, 3, 1, 4, 2, 5).reshape(b, hh, ww, d)
 
