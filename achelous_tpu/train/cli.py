@@ -38,8 +38,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--focal", type=str2bool, default=True)
     p.add_argument("--bf16", type=str2bool, default=True,
                    help="bf16 compute (fp32 params); TPU equivalent of --fp16")
-    p.add_argument("--mtl", default="uncertainty",
-                   choices=["uncertainty", "sum", "mgda", "cagrad"])
+    p.add_argument("--mtl", default="sum",
+                   choices=["uncertainty", "sum", "mgda", "cagrad"],
+                   help="multi-task weighting; 'sum' is the reference's "
+                        "effective behavior and the default — trained "
+                        "uncertainty weights suppress the initially "
+                        "high-loss detection task (ARCHITECTURE.md "
+                        "deviation 2)")
     p.add_argument("--data_root", required=True,
                    help="WaterScenes-format root (see WaterScenesPaths)")
     p.add_argument("--annotation", default="train.txt")
