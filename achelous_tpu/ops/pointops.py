@@ -30,9 +30,22 @@ def square_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def farthest_point_sample(xyz: jnp.ndarray, npoint: int,
-                          valid: jnp.ndarray | None = None) -> jnp.ndarray:
+                          valid: jnp.ndarray | None = None,
+                          use_pallas: bool | None = None) -> jnp.ndarray:
     """FPS indices [B, npoint] over xyz [B, N, 3]; starts at point 0
-    (deterministic, unlike the CUDA op's random start)."""
+    (deterministic, unlike the CUDA op's random start).
+
+    On TPU backends the whole sequential loop runs inside one Pallas kernel
+    (ops/pallas_pointops.py — 3.6x faster at bs=1 where the XLA loop is
+    dispatch-overhead-bound; exact same indices, pinned by
+    tests/test_pallas_pointops.py).  use_pallas=None auto-selects by
+    backend."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from achelous_tpu.ops.pallas_pointops import \
+            pallas_farthest_point_sample
+        return pallas_farthest_point_sample(xyz, npoint, valid)
     b, n, _ = xyz.shape
     big = jnp.asarray(1e10, xyz.dtype)
     dist = jnp.full((b, n), big, xyz.dtype)
