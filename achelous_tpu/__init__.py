@@ -12,7 +12,16 @@ import jax as _jax
 # Persistent XLA compile cache: first TPU compiles of the full model take
 # minutes (remote compile); warm reruns are seconds.  Opt out by setting
 # ACHELOUS_NO_COMPILE_CACHE=1 or pre-configuring jax yourself.
-if (not _os.environ.get("ACHELOUS_NO_COMPILE_CACHE")
+#
+# Default-on is scoped to TPU-ish processes only (inspected via env, without
+# initializing a backend): cached CPU executables embed machine feature
+# flags and can SIGILL when reloaded on a different host, and virtual-device
+# CPU runs (xla_force_host_platform_device_count) gain nothing.  CPU users
+# who want it (e.g. tests/conftest.py) opt in explicitly.
+_platforms = _os.environ.get("JAX_PLATFORMS", "").lower()
+_is_cpu = ("cpu" in _platforms or "xla_force_host_platform_device_count"
+           in _os.environ.get("XLA_FLAGS", ""))
+if (not _os.environ.get("ACHELOUS_NO_COMPILE_CACHE") and not _is_cpu
         and _jax.config.jax_compilation_cache_dir is None):
     _jax.config.update(
         "jax_compilation_cache_dir",

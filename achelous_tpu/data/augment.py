@@ -43,8 +43,16 @@ class AugmentConfig:
 def hsv_jitter(image_u8: np.ndarray, rng: np.random.RandomState,
                hue: float, sat: float, val: float) -> np.ndarray:
     """Random H/S/V gains on a uint8 RGB array (dataloader.py:316-330
-    semantics: r = uniform(-1,1,3)*[h,s,v]+1, hue rolls mod 256(180),
-    sat/val scale with clipping)."""
+    semantics: r = uniform(-1,1,3)*[h,s,v]+1; hue wraps, sat/val scale with
+    clipping).
+
+    Hue-wrap equivalence: the reference's (dead) cv2 code wraps hue as
+    (h_cv * r) % 180 on cv2's 0..179 half-degree wheel; here PIL's 0..255
+    wheel wraps as (h_pil * r) % 256.  Both equal (deg * r) mod 360 in
+    degree space — h_cv = deg/2 and h_pil = deg*256/360 are linear
+    reparameterizations, so the modulus rescales with the wheel.  The only
+    residual difference is uint8 quantization granularity (180 vs 256
+    levels, < 2 degrees), not the distribution."""
     if hue <= 0 and sat <= 0 and val <= 0:
         return image_u8
     from PIL import Image
@@ -80,7 +88,12 @@ def hflip_sample(sample: dict, resolution: int,
     if pts is not None:
         pts = pts.copy()
         valid = sample["radar_points_valid"]
-        pts[valid, U_COLUMN] = (src_w - 1) - pts[valid, U_COLUMN]
+        # continuous-coordinate mirror about the frame center (src_w/2), the
+        # same convention as the image/radar_map/grid `[:, ::-1]` flips —
+        # mirroring about src_w-1 instead would shift boundary points one
+        # splat grid cell off the flipped pre-rasterized radar_map (the splat
+        # quantizes with floor(u/6); equality pinned in test_augment.py)
+        pts[valid, U_COLUMN] = src_w - pts[valid, U_COLUMN]
         out["radar_points"] = pts
     pc = sample.get("pc")
     if pc is not None:

@@ -9,6 +9,7 @@ detections of train-consistent checkpoints, so it is opt-in (`minmax_radar`).
 """
 from __future__ import annotations
 
+import functools
 import os
 from typing import Dict, Optional, Tuple
 
@@ -183,26 +184,35 @@ class AchelousPredictor:
         radar = self.prepare_radar(radar_npz, radar_csv)
         pc = self.prepare_pointcloud(radar_csv)
         *_, det_maps = self._infer(self.variables, image, radar, pc)
-        r = self.cfg.resolution
+        return np.asarray(_heatmap_composite(self.cfg.resolution)(det_maps))
 
-        # one jitted composite — NEVER eager ops here: a single eager device
-        # op between jitted calls degrades all subsequent jit dispatch on
-        # the axon backend to a constant ~1.7 s (bisected 2026-08-17; see
-        # CLAUDE.md known backend bugs)
-        @jax.jit
-        def composite_fn(maps):
-            from achelous_tpu.ops.resize import resize_bilinear
-            composite = jnp.zeros((r, r))
-            for m in maps:
-                m = m.astype(jnp.float32)
-                score = (jax.nn.sigmoid(m[0, ..., 5:]).max(-1) *
-                         jax.nn.sigmoid(m[0, ..., 4]))
-                up = resize_bilinear(score[None, ..., None], (r, r),
-                                     align_corners=False)[0, ..., 0]
-                composite = jnp.maximum(composite, up)
-            return composite
 
-        return np.asarray(composite_fn(det_maps))
+@functools.lru_cache(maxsize=None)
+def _heatmap_composite(resolution: int):
+    """One jitted composite program per resolution (per-level map shapes are
+    resolution-derived, so resolution fully keys the trace).
+
+    Module-level cache: re-building jax.jit per detect_heatmap call would
+    re-trace every call.  Jitted, NEVER eager ops: a single eager device op
+    between jitted calls degrades all subsequent jit dispatch on the axon
+    backend to a constant ~1.7 s (bisected 2026-08-17; see CLAUDE.md known
+    backend bugs)."""
+    r = resolution
+
+    @jax.jit
+    def composite_fn(maps):
+        from achelous_tpu.ops.resize import resize_bilinear
+        composite = jnp.zeros((r, r))
+        for m in maps:
+            m = m.astype(jnp.float32)
+            score = (jax.nn.sigmoid(m[0, ..., 5:]).max(-1) *
+                     jax.nn.sigmoid(m[0, ..., 4]))
+            up = resize_bilinear(score[None, ..., None], (r, r),
+                                 align_corners=False)[0, ..., 0]
+            composite = jnp.maximum(composite, up)
+        return composite
+
+    return composite_fn
 
 
 def export_stablehlo(predictor: AchelousPredictor, path: str) -> str:

@@ -7,6 +7,7 @@ one jitted train step, metrics computed in memory (no txt/png exchange).
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -107,6 +108,17 @@ def batches_from(dataset: WaterScenesDataset, cfg: AchelousConfig,
 _HOST_ONLY_KEYS = ("radar_points", "radar_points_valid", "n_valid", "indices")
 
 
+@functools.lru_cache(maxsize=None)
+def _batched_splat(resolution: int):
+    """One jitted+vmapped radar-splat program per resolution.
+
+    Module-level cache: building `jax.jit(jax.vmap(...))` per call re-traces
+    (and can re-compile) the splat once per training batch — the default path
+    whenever no pre-rasterized npz dir exists."""
+    return jax.jit(jax.vmap(
+        functools.partial(splat_radar_fast, resolution=resolution)))
+
+
 def device_batch(batch: dict, cfg: AchelousConfig, mesh=None) -> dict:
     """Host batch -> device arrays; splat radar points on device if the
     batch carries raw points instead of pre-rasterized maps.
@@ -124,9 +136,7 @@ def device_batch(batch: dict, cfg: AchelousConfig, mesh=None) -> dict:
     if "radar" not in out:
         pts = place({"p": batch["radar_points"],
                      "v": batch["radar_points_valid"]})
-        out["radar"] = jax.jit(jax.vmap(
-            lambda p, v: splat_radar_fast(p, v, resolution=cfg.resolution)))(
-            pts["p"], pts["v"])
+        out["radar"] = _batched_splat(cfg.resolution)(pts["p"], pts["v"])
     return out
 
 

@@ -149,7 +149,12 @@ def _match_class(dets: List[Tuple[float, np.ndarray]],
         if coco:
             free = ~matched[img] & (ious >= iou_thr)
             if free.any():
-                j = int(np.argmax(np.where(free, ious, -1.0)))
+                # pycocotools evaluateImg scans GTs with `if iou < best:
+                # continue` — equality UPDATES, so among free GTs tying at
+                # the max IoU the LAST one wins (np.argmax would take the
+                # first; counterexample pinned in test_coco_golden.py)
+                vals = np.where(free, ious, -1.0)
+                j = int(np.flatnonzero(vals == vals.max())[-1])
                 matched[img][j] = True
                 tp[i] = 1
             else:

@@ -38,8 +38,39 @@ def test_hflip_is_an_involution():
     twice = hflip_sample(hflip_sample(s, R), R)
     for k in ("image", "seg", "wl", "boxes", "radar_map", "radar_points",
               "pc"):
-        # rtol: (SRC_W-1) - u applied twice rounds in fp32
+        # rtol: SRC_W - u applied twice rounds in fp32
         np.testing.assert_allclose(twice[k], s[k], rtol=1e-5, err_msg=k)
+
+
+def test_flipped_points_splat_equals_flipped_map():
+    """The two radar pathways must agree under augmentation: splatting the
+    FLIPPED raw points must equal flipping the splat of the original points
+    (the pre-rasterized radar_map path flips with `[:, ::-1]`).  This pins
+    the continuous-coordinate mirror u -> SRC_W - u — mirroring about
+    SRC_W - 1 shifts any point with frac(u/6) > 5/6 one grid cell off."""
+    import jax.numpy as jnp
+    from achelous_tpu.ops.radar_splat import splat_radar_fast
+
+    rng = np.random.RandomState(3)
+    res = 320
+    pts = np.zeros((64, 5), np.float32)
+    pts[:48, :3] = rng.uniform(1, 50, (48, 3))
+    # non-integer u/v incl. values near (but not exactly on) cell boundaries
+    pts[:48, 3] = rng.uniform(0.5, 1919.4, 48)
+    pts[:48, 4] = rng.uniform(0.5, 1079.4, 48)
+    pts[40:48, 3] = np.arange(8) * 6.0 + 5.9   # frac(u/6) ~ 0.98 band
+    valid = np.arange(64) < 48
+    s = {"radar_points": pts, "radar_points_valid": valid,
+         "image": np.zeros((res, res, 3), np.float32),
+         "seg": np.zeros((res, res), np.int32),
+         "wl": np.zeros((res, res), np.int32),
+         "boxes": np.zeros((0, 5), np.float32)}
+    f = hflip_sample(s, res)
+    splat_flipped = np.asarray(splat_radar_fast(
+        jnp.asarray(f["radar_points"]), jnp.asarray(valid), resolution=res))
+    flipped_splat = np.asarray(splat_radar_fast(
+        jnp.asarray(pts), jnp.asarray(valid), resolution=res))[:, ::-1]
+    np.testing.assert_array_equal(splat_flipped, flipped_splat)
 
 
 def test_hflip_transforms_every_modality_together():
@@ -52,9 +83,9 @@ def test_hflip_transforms_every_modality_together():
     # boxes mirror cx, keep wh + class
     assert f["boxes"][0, 0] == R - s["boxes"][0, 0]
     np.testing.assert_array_equal(f["boxes"][0, 1:], s["boxes"][0, 1:])
-    # valid radar points mirror u; invalid padding untouched
+    # valid radar points mirror u about the frame center; padding untouched
     np.testing.assert_allclose(f["radar_points"][:8, U_COLUMN],
-                               (SRC_W - 1) - s["radar_points"][:8, U_COLUMN])
+                               SRC_W - s["radar_points"][:8, U_COLUMN])
     np.testing.assert_array_equal(f["radar_points"][8:],
                                   s["radar_points"][8:])
     # pc lateral coordinate negates; labels untouched

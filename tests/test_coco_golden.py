@@ -111,3 +111,24 @@ def test_matches_oracle_degenerate_classes():
     ref = coco_stats(dets, gts, num_classes=3)
     for k, rk in KEYMAP.items():
         np.testing.assert_allclose(ours[k], ref[rk], atol=1e-9)
+
+
+def test_matches_oracle_exact_iou_tie():
+    """One det tying two different GTs at exactly the same IoU: COCOeval's
+    scan (`if iou < best: continue`) keeps updating on EQUALITY, so the LAST
+    free GT at the max IoU wins.  An argmax (first-GT) tie-break here gives
+    mAP50 = 1.0 instead of the oracle's value — pinned after the advisor's
+    round-2 counterexample."""
+    # det d1 = [0,0,10,10] ties g1 = [0,0,10,5] and g2 = [0,5,10,10] at
+    # IoU 0.5 exactly; d2 = [0,5,10,10] only overlaps g2 (IoU 1.0).
+    gts = [{"boxes": np.array([[0, 0, 10, 5], [0, 5, 10, 10]], float),
+            "classes": np.zeros(2, np.int64)}]
+    dets = [{"boxes": np.array([[0, 0, 10, 10], [0, 5, 10, 10]], float),
+             "scores": np.array([0.9, 0.8]),
+             "classes": np.zeros(2, np.int64)}]
+    ours = compute_det_metrics(dets, gts, num_classes=1)
+    ref = coco_stats(dets, gts, num_classes=1)
+    for k, rk in KEYMAP.items():
+        np.testing.assert_allclose(ours[k], ref[rk], atol=1e-9)
+    # d1 must take g2 (last tie), making d2 a false positive at IoU 0.5
+    assert ours["mAP50"] < 1.0
