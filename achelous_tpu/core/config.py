@@ -59,6 +59,16 @@ class AchelousConfig:
     dtype: Any = jnp.float32        # activation/compute dtype (bf16 for speed)
     param_dtype: Any = jnp.float32  # parameter storage dtype
 
+    # deformable-conv implementation (RCNet, ops/deform.py).  An integer
+    # selects the banded shift-decomposition with offsets clipped to
+    # [-band, band] cells — on TPU it replaces the per-pixel gather (priced
+    # per gather ROW, which makes exact unbounded sampling several times
+    # slower than banded for RCNet at bs=32) with static shifts + bilinear
+    # hat weights.  Exactly equal to torchvision semantics whenever
+    # |offset| <= band (true at the reference's zero init and for trained
+    # DCN offsets).  None = exact unbounded-offset gather path.
+    deform_band: Any = 4
+
     def __post_init__(self):
         if self.phi not in WIDTHS:
             raise ValueError(f"phi must be one of {tuple(WIDTHS)}, got {self.phi!r}")

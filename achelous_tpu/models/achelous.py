@@ -101,7 +101,8 @@ class Achelous(nn.Module):
                                      deploy=self.deploy, dtype=cfg.dtype,
                                      name="fpn")(feats, train)
 
-        radar_feats = RCNet(phi=cfg.phi, dtype=cfg.dtype,
+        radar_feats = RCNet(phi=cfg.phi, band=cfg.deform_band,
+                            dtype=cfg.dtype,
                             name="radar_encoder")(radar_map, train)
 
         # det_img is (P5, P4, P3) high-to-low stride; fuse per scale with the

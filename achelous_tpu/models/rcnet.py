@@ -26,13 +26,15 @@ class RadarConv(nn.Module):
     """reference RadarEncoder.py:23-41 ('pool' first_calculator: 3x3 avg-pool
     stride 1, then 3x3 deformable conv)."""
     features: int
+    band: int | None = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         x = avg_pool_same(x, 3)
         return DeformableConv2d(self.features, kernel_size=3, stride=1,
-                                padding=1, use_bias=False, dtype=self.dtype,
+                                padding=1, use_bias=False, band=self.band,
+                                dtype=self.dtype,
                                 name="deformable_conv")(x)
 
 
@@ -40,13 +42,15 @@ class RCBlock(nn.Module):
     """reference RadarEncoder.py:44-74."""
     features: int
     down: bool = False
+    band: int | None = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         cin = x.shape[-1]
         res = x
-        y = RadarConv(cin, dtype=self.dtype, name="radar_conv")(x)
+        y = RadarConv(cin, band=self.band, dtype=self.dtype,
+                      name="radar_conv")(x)
         y = nn.Conv(cin, (1, 1), use_bias=True, dtype=self.dtype,
                     name="weight_conv1")(y)
         y = F32BatchNorm(use_running_average=not train, momentum=0.9,
@@ -69,6 +73,8 @@ class RCNet(nn.Module):
     Returns (s8, s16, s32) features with widths[1..3]//4 channels.
     """
     phi: str = "S0"
+    band: int | None = None     # deformable-conv banded fast path
+                                # (AchelousConfig.deform_band, ops/deform.py)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -87,7 +93,7 @@ class RCNet(nn.Module):
                 specs.append((widths[i] // 4, True))
         outs = []
         for i, (feat, down) in enumerate(specs):
-            x = RCBlock(feat, down=down, dtype=self.dtype,
+            x = RCBlock(feat, down=down, band=self.band, dtype=self.dtype,
                         name=f"rc_block_{i}")(x, train)
             if i > 1 and i % 2 == 1:    # taps after blocks 3, 5, 7 (line 103)
                 outs.append(x)

@@ -23,6 +23,17 @@ def bilinear_gather(x: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.nda
 
     Out-of-bounds samples contribute zero (torchvision deform_conv semantics).
     Returns [B, P, C].
+
+    TPU formulation: ONE gather row per tap instead of four.  XLA's TPU
+    gather is priced per ROW regardless of row width, so the four corner
+    gathers are packed into a single [H+1, W+1, 4C] patch table (each row =
+    a pixel's 2x2xC neighborhood, built from a zero-padded copy with static
+    shifts) — a 4x reduction in gather rows over the naive four-corner
+    formulation.
+
+    Exactness: the pad ring makes partially-out-of-bounds corners read true
+    zeros; taps with no valid corner have all four weights zeroed, so the
+    clamped table row they read contributes nothing.
     """
     b, h, w, c = x.shape
     y0 = jnp.floor(ys)
@@ -32,24 +43,93 @@ def bilinear_gather(x: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.nda
     y0i = y0.astype(jnp.int32)
     x0i = x0.astype(jnp.int32)
 
-    flat = x.reshape(b, h * w, c)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # patch[i, j] = corners of integer base (y0, x0) = (i-1, j-1):
+    # [x(y0,x0), x(y0,x0+1), x(y0+1,x0), x(y0+1,x0+1)] each C wide
+    patch = jnp.concatenate(
+        [xp[:, :-1, :-1], xp[:, :-1, 1:], xp[:, 1:, :-1], xp[:, 1:, 1:]], -1)
+    flat = patch.reshape(b, (h + 1) * (w + 1), 4 * c)
+    idx = (jnp.clip(y0i + 1, 0, h) * (w + 1) + jnp.clip(x0i + 1, 0, w))
+    rows = jnp.take_along_axis(flat, idx[..., None], axis=1)   # [B, P, 4C]
+    rows = rows.reshape(b, ys.shape[1], 4, c)
 
-    def corner(yi, xi, wgt):
-        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
-        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
-        return vals * (wgt * valid.astype(x.dtype))[..., None]
+    def ok(yi, xi):
+        return ((yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)).astype(x.dtype)
 
-    out = (corner(y0i, x0i, (1 - wy1) * (1 - wx1))
-           + corner(y0i, x0i + 1, (1 - wy1) * wx1)
-           + corner(y0i + 1, x0i, wy1 * (1 - wx1))
-           + corner(y0i + 1, x0i + 1, wy1 * wx1))
-    return out
+    wts = jnp.stack(
+        [(1 - wy1) * (1 - wx1) * ok(y0i, x0i),
+         (1 - wy1) * wx1 * ok(y0i, x0i + 1),
+         wy1 * (1 - wx1) * ok(y0i + 1, x0i),
+         wy1 * wx1 * ok(y0i + 1, x0i + 1)], -1)                # [B, P, 4]
+    return jnp.einsum("bpkc,bpk->bpc", rows, wts)
+
+
+def banded_deform_samples(x: jnp.ndarray, offset: jnp.ndarray,
+                          mask: jnp.ndarray, band: int,
+                          kh: int, kw: int, padding: int = 1) -> jnp.ndarray:
+    """Deformable-conv sampling with offsets clipped to [-band, band] cells:
+    the TPU-fast path.
+
+    Instead of gathering 4 bilinear corners per tap (XLA's TPU gather is
+    priced per ROW, so B*H*W gather rows per layer dominate RCNet),
+    every tap's sample is accumulated from (2*band+2)^2 STATIC shifts of
+    the zero-padded input weighted by bilinear hat functions
+    relu(1 - |offset - d|): pure elementwise VPU work, no gather (true
+    fetch-forced device timing 2026-08-17: RCNet-S0 bs=32 320^2 is 95 ms
+    banded vs several-x slower exact; see ops/pallas_deform.py for the
+    tile-resident kernel that removes this path's HBM-traffic bound).
+    Bitwise-equal to the exact gather path
+    whenever |offset| <= band, which holds at the reference's zero
+    initialization (dcn.py:29-40) and for trained DCN offsets; the clip is
+    the one documented semantic deviation (ARCHITECTURE.md).
+
+    The (tap, dy) loop is a lax.scan (reverse-differentiable, unlike
+    fori_loop) over a channels-first layout — with NHWC and C as small as 3
+    the vregs would run 3/128 lanes occupied.
+
+    Args: x [B,H,W,C], offset [B,H,W,2K], mask [B,H,W,K]; stride-1 only.
+    Returns samples [B, H, W, K*C] (tap-major), modulated by `mask`.
+    """
+    b, h, w, c = x.shape
+    k = kh * kw
+    r = int(band)
+    ndy = 2 * r + 2
+    off = offset.reshape(b, h, w, k, 2)
+    oy = jnp.clip(off[..., 0], -r, r).transpose(0, 3, 1, 2)   # [B,K,H,W]
+    ox = jnp.clip(off[..., 1], -r, r).transpose(0, 3, 1, 2)
+    pad = r + 2 + max(kh, kw)
+    xcf = x.transpose(0, 3, 1, 2)                             # [B,C,H,W]
+    xp = jnp.pad(xcf, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
+
+    def body(acc, i):
+        ki = i // ndy
+        dy = i % ndy - r
+        tapy = ki // kw - padding
+        tapx = ki % kw - padding
+        oyk = jax.lax.dynamic_index_in_dim(oy, ki, 1, keepdims=False)
+        oxk = jax.lax.dynamic_index_in_dim(ox, ki, 1, keepdims=False)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(oyk - dy.astype(oyk.dtype)))
+        term = jnp.zeros((b, c, h, w), x.dtype)
+        for dx in range(-r, r + 2):                            # unrolled
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(oxk - dx))
+            sh = jax.lax.dynamic_slice(
+                xp, (0, 0, pad + tapy + dy, pad + tapx + dx), (b, c, h, w))
+            term = term + (wy * wx)[:, None] * sh
+        acc = jax.lax.dynamic_update_index_in_dim(
+            acc, jax.lax.dynamic_index_in_dim(acc, ki, 1, False) + term,
+            ki, 1)
+        return acc, None
+
+    acc0 = jnp.zeros((b, k, c, h, w), x.dtype)
+    acc, _ = jax.lax.scan(body, acc0, jnp.arange(k * ndy, dtype=jnp.int32))
+    acc = acc * mask.transpose(0, 3, 1, 2)[:, :, None]
+    return acc.transpose(0, 3, 4, 1, 2).reshape(b, h, w, k * c)
 
 
 def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
                   weight: jnp.ndarray, bias: jnp.ndarray | None = None,
-                  stride: int = 1, padding: int = 1) -> jnp.ndarray:
+                  stride: int = 1, padding: int = 1,
+                  band: int | None = None) -> jnp.ndarray:
     """Modulated deformable conv.
 
     Args:
@@ -63,6 +143,15 @@ def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
     kh, kw, _, cout = weight.shape
     k = kh * kw
     _, ho, wo, _ = offset.shape
+
+    if band is not None and stride == 1 and (ho, wo) == (h, w):
+        samples = banded_deform_samples(x, offset, mask, band, kh, kw,
+                                        padding)
+        wmat = weight.reshape(k * c, cout)
+        out = jnp.einsum("bhwi,io->bhwo", samples, wmat)
+        if bias is not None:
+            out = out + bias
+        return out
 
     # base sampling grid: out position * stride - pad + tap offset
     ys_out = jnp.arange(ho, dtype=x.dtype) * stride - padding
@@ -110,6 +199,8 @@ class DeformableConv2d(nn.Module):
                               # train step (OOM at bs=32 on one v5e without
                               # this), while RCNet is a rounding error of the
                               # forward FLOPs — the canonical remat trade
+    band: int | None = None   # banded fast path (see banded_deform_samples);
+                              # None = exact unbounded-offset gather
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -133,8 +224,8 @@ class DeformableConv2d(nn.Module):
                            jnp.float32) if self.use_bias else None)
         fn = deform_conv2d
         if self.remat:
-            fn = jax.checkpoint(deform_conv2d, static_argnums=(5, 6))
+            fn = jax.checkpoint(deform_conv2d, static_argnums=(5, 6, 7))
         return fn(x, offset, modulator,
                   weight.astype(self.dtype),
                   None if bias is None else bias.astype(self.dtype),
-                  self.stride, self.padding)
+                  self.stride, self.padding, self.band)
