@@ -166,7 +166,7 @@ def unletterbox_argmax(prob: np.ndarray, orig_hw: tuple[int, int]) -> np.ndarray
 def evaluate_epoch(model, cfg: AchelousConfig, state: TrainState,
                    dataset: WaterScenesDataset, batch_size: int = 8,
                    conf_thres: float = 0.02, nms_thres: float = 0.5,
-                   use_ema: bool = True) -> dict:
+                   use_ema: bool = True, class_names=None) -> dict:
     """Online eval: det mAP + semantic/waterline mIoU + pc mIoU over a val
     set (the reference's four EvalCallbacks, computed in memory).
 
@@ -230,13 +230,36 @@ def evaluate_epoch(model, cfg: AchelousConfig, state: TrainState,
                 unletterbox_argmax(wl_prob[i], wl_orig.shape).flatten(), 2)
             pc_conf += fast_hist(batch["pc_labels"][i].flatten(),
                                  pc_pred[i].flatten(), cfg.pc_classes)
-    det_m = compute_det_metrics(all_dets, all_gts, cfg.num_det)
-    from achelous_tpu.utils.metrics import per_class_iu
-    return {**det_m,
-            "n_images": len(all_gts),
-            "miou_sem": float(np.nanmean(per_class_iu(sem_hist))),
-            "miou_wl": float(np.nanmean(per_class_iu(wl_hist))),
-            "miou_pc": pc_mean_iou(pc_conf)}
+    det_m = compute_det_metrics(all_dets, all_gts, cfg.num_det,
+                                per_class=True)
+    from achelous_tpu.utils.metrics import (per_class_iu,
+                                            per_class_pa_recall,
+                                            voc_per_class_table)
+    out = {**det_m,
+           "n_images": len(all_gts),
+           "miou_sem": float(np.nanmean(per_class_iu(sem_hist))),
+           "miou_wl": float(np.nanmean(per_class_iu(wl_hist))),
+           "miou_pc": pc_mean_iou(pc_conf)}
+    # per-class breakdowns, flattened to scalar keys so they reach
+    # history.jsonl — the tables the reference prints per epoch:
+    # per-class AP + LAMR (utils/utils_map.py:560-640) and per-class
+    # IoU / PA (utils_seg/utils_metrics.py:47-60).
+    def cname(i):
+        return (class_names[i] if class_names and i < len(class_names)
+                else f"c{i}")
+    for c, ap in out.pop("per_class_ap50").items():
+        out[f"ap50/{cname(c)}"] = ap
+    out.pop("per_class_ap")
+    for c, row in voc_per_class_table(all_dets, all_gts,
+                                      cfg.num_det).items():
+        out[f"lamr/{cname(c)}"] = row["lamr"]
+    sem_iu, sem_pa = per_class_iu(sem_hist), per_class_pa_recall(sem_hist)
+    for c in range(cfg.num_seg):
+        out[f"iou_sem/{c}"] = float(sem_iu[c])
+        out[f"pa_sem/{c}"] = float(sem_pa[c])
+    for c, v in enumerate(per_class_iu(pc_conf)):
+        out[f"iou_pc/{c}"] = float(v)
+    return out
 
 
 # Metric accumulation must be JITTED: a single eager device op between

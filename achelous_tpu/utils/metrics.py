@@ -190,7 +190,8 @@ def _ap_recall_at(tp, fp, n_gt, coco_interp=True):
 
 
 def compute_det_metrics(detections: List[Dict], ground_truths: List[Dict],
-                        num_classes: int, max_det: int = 100) -> Dict[str, float]:
+                        num_classes: int, max_det: int = 100,
+                        per_class: bool = False) -> Dict[str, float]:
     """COCO-style detection metrics, fully in memory.
 
     detections: per image {'boxes': [N,4] xyxy, 'scores': [N], 'classes': [N]}
@@ -232,18 +233,41 @@ def compute_det_metrics(detections: List[Dict], ground_truths: List[Dict],
         for k, thr in enumerate(iou_thrs):
             tp, fp, n_gt = _match_class(dets, per_cls_gts[c], thr, coco=True)
             aps[c, k], recalls[c, k] = _ap_recall_at(tp, fp, n_gt)
-    return {
+    out = {
         "mAP50-95": float(np.nanmean(aps)) if not np.isnan(aps).all() else 0.0,
         "mAP50": float(np.nanmean(aps[:, 0])) if not np.isnan(aps[:, 0]).all() else 0.0,
         "mAP75": float(np.nanmean(aps[:, 5])) if not np.isnan(aps[:, 5]).all() else 0.0,
         "AR100": float(np.nanmean(recalls)) if not np.isnan(recalls).all() else 0.0,
     }
+    if per_class:
+        # per-class AP50 / AP (classes absent from the GT -> NaN, matching
+        # pycocotools' -1 sentinel semantics of "not evaluated")
+        out["per_class_ap50"] = {c: float(aps[c, 0])
+                                 for c in range(num_classes)}
+        out["per_class_ap"] = {c: float(np.mean(aps[c]))
+                               for c in range(num_classes)}
+    return out
 
 
 def compute_voc_map(detections: List[Dict], ground_truths: List[Dict],
                     num_classes: int, iou_thr: float = 0.5) -> Dict[str, float]:
     """VOC mAP at a single IoU (reference get_map, utils_map.py:276-797)."""
-    aps = []
+    table = voc_per_class_table(detections, ground_truths, num_classes,
+                                iou_thr)
+    aps = [row["ap"] for row in table.values()]
+    return {"mAP": float(np.mean(aps)) if aps else 0.0}
+
+
+def voc_per_class_table(detections: List[Dict], ground_truths: List[Dict],
+                        num_classes: int, iou_thr: float = 0.5
+                        ) -> Dict[int, Dict[str, float]]:
+    """Per-class AP / LAMR / recall / precision — the table the reference
+    prints and plots per class (utils/utils_map.py:560-640: AP from the VOC
+    matching at min_overlap, LAMR from log_average_miss_rate(rec, fp,
+    n_images-containing-the-class), final recall/precision of the full
+    ranked list).  Classes with no GT are omitted (reference iterates
+    gt_classes only)."""
+    out: Dict[int, Dict[str, float]] = {}
     for c in range(num_classes):
         dets, gts = [], {}
         for img_id, (det, gt) in enumerate(zip(detections, ground_truths)):
@@ -259,5 +283,14 @@ def compute_voc_map(detections: List[Dict], ground_truths: List[Dict],
         dets.sort(key=lambda t: -t[0])
         tp, fp, n_gt = _match_class(dets, gts, iou_thr)
         ap, _ = _ap_recall_at(tp, fp, n_gt, coco_interp=False)
-        aps.append(ap)
-    return {"mAP": float(np.mean(aps)) if aps else 0.0}
+        ctp, cfp = np.cumsum(tp), np.cumsum(fp)
+        rec = ctp / n_gt
+        prec = ctp / np.maximum(ctp + cfp, 1e-12)
+        # reference utils_map.py:599 passes the RECALL cumsum and the fp
+        # cumsum, with n_images = images containing this class
+        lamr, _, _ = log_average_miss_rate(rec, cfp, len(gts))
+        out[c] = {"ap": float(ap), "lamr": float(lamr),
+                  "recall": float(rec[-1]) if len(rec) else 0.0,
+                  "precision": float(prec[-1]) if len(prec) else 0.0,
+                  "n_gt": int(n_gt)}
+    return out

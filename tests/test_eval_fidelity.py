@@ -112,7 +112,20 @@ def test_evaluate_epoch_scores_every_image(tiny_ds):
     model = create_model(cfg)
     state = create_train_state(model, cfg, TrainConfig(max_gt=8),
                                jax.random.PRNGKey(0), example_inputs(cfg, 2))
-    m = evaluate_epoch(model, cfg, state, ds, batch_size=2, use_ema=False)
+    m = evaluate_epoch(model, cfg, state, ds, batch_size=2, use_ema=False,
+                       class_names=("pier", "buoy"))
     assert m["n_images"] == 5                    # 2+2+1: tail not dropped
     for k in ("mAP50", "miou_sem", "miou_wl", "miou_pc"):
         assert np.isfinite(m[k])
+    # per-class breakdowns reach the epoch record (VERDICT r2 missing 5):
+    # per-class AP50 for every det class, LAMR for classes with GT, and
+    # per-class IoU/PA for seg + pc — all scalar-keyed for history.jsonl.
+    for c in range(cfg.num_det):
+        name = ("pier", "buoy")[c] if c < 2 else f"c{c}"
+        assert f"ap50/{name}" in m
+    assert any(k.startswith("lamr/") for k in m)
+    for c in range(cfg.num_seg):
+        assert f"iou_sem/{c}" in m and f"pa_sem/{c}" in m
+    for c in range(cfg.pc_classes):
+        assert f"iou_pc/{c}" in m
+    assert all(np.isscalar(v) for v in m.values())
