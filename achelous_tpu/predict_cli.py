@@ -1,6 +1,11 @@
 """Prediction CLI — the reference's predict.py mode switch (predict.py:23-141).
 
-Modes: predict (single image), dir_predict, heatmap, export (StableHLO).
+Modes: predict (single image), dir_predict, heatmap, export (StableHLO),
+video (cv2 frame loop), fps (test_interval latency probe).  The reference
+advertises 'video' and 'fps' in its mode assertion (predict.py:141) and
+documents their knobs (predict.py:33-52) but this snapshot ships no branch
+for either — they are implemented here to the documented semantics.
+
   python -m achelous_tpu.predict_cli --mode predict --image img.jpg \\
       --radar_csv r.csv --ckpt logs/ckpt/best_epoch_weights
 """
@@ -14,7 +19,8 @@ import os
 def build_parser():
     p = argparse.ArgumentParser(description="Achelous-TPU predictor")
     p.add_argument("--mode", default="predict",
-                   choices=["predict", "dir_predict", "heatmap", "export"])
+                   choices=["predict", "dir_predict", "heatmap", "export",
+                            "video", "fps"])
     p.add_argument("--backbone", default="en")
     p.add_argument("--neck", default="gdf")
     p.add_argument("--phi", default="S0")
@@ -30,6 +36,17 @@ def build_parser():
     p.add_argument("--deploy", action="store_true",
                    help="fold reparameterizable blocks before compiling")
     p.add_argument("--out", default="export_results")
+    # video mode (reference predict.py:33-44)
+    p.add_argument("--video", default="", help="input video path")
+    p.add_argument("--video_out", default="", help="annotated output path"
+                   " (empty = don't save, reference video_save_path='')")
+    p.add_argument("--video_fps", type=float, default=0.0,
+                   help="output fps (0 = inherit from the input)")
+    p.add_argument("--max_frames", type=int, default=0,
+                   help="stop after N frames (0 = all)")
+    # fps mode (reference predict.py:46-52)
+    p.add_argument("--test_interval", type=int, default=100,
+                   help="detections per fps measurement")
     return p
 
 
@@ -118,6 +135,84 @@ def main(argv=None):
         path = export_stablehlo(pred, os.path.join(args.out, "achelous.shlo"))
         print(json.dumps({"exported": path,
                           "bytes": os.path.getsize(path)}))
+    elif args.mode == "video":
+        print(json.dumps(run_video(pred, args)))
+    elif args.mode == "fps":
+        print(json.dumps(run_fps_probe(pred, args)))
+
+
+def run_video(pred, args) -> dict:
+    """cv2 frame loop: detect every frame, draw, write the annotated video
+    (the reference's documented-but-unshipped 'video' mode,
+    predict.py:33-44: video_path -> detect_image per frame -> fps overlay ->
+    optional VideoWriter at video_fps)."""
+    import time
+
+    import cv2
+    import numpy as np
+    from PIL import Image
+
+    from achelous_tpu.visualize import render_detection
+
+    cap = cv2.VideoCapture(args.video)
+    if not cap.isOpened():
+        raise ValueError(f"could not open video {args.video!r}")
+    src_fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+    writer = None
+    n, t_total = 0, 0.0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        pil = Image.fromarray(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+        t0 = time.perf_counter()
+        r = pred.detect(pil, radar_npz=args.radar_npz or None,
+                        radar_csv=args.radar_csv or None)
+        dt = time.perf_counter() - t0
+        t_total += dt
+        n += 1
+        vis = render_detection(pil, r, pred.class_names)
+        out = cv2.cvtColor(np.asarray(vis.convert("RGB")), cv2.COLOR_RGB2BGR)
+        cv2.putText(out, f"fps= {1.0 / max(dt, 1e-9):.2f}", (0, 40),
+                    cv2.FONT_HERSHEY_SIMPLEX, 1, (0, 255, 0), 2)
+        if args.video_out:
+            if writer is None:
+                h, w = out.shape[:2]
+                writer = cv2.VideoWriter(
+                    args.video_out, cv2.VideoWriter_fourcc(*"mp4v"),
+                    args.video_fps or src_fps, (w, h))
+            writer.write(out)
+        if args.max_frames and n >= args.max_frames:
+            break
+    cap.release()
+    if writer is not None:
+        writer.release()
+    return {"frames": n, "video_out": args.video_out or None,
+            "mean_detect_s": round(t_total / max(n, 1), 4),
+            "mean_fps": round(n / t_total, 2) if t_total else None}
+
+
+def run_fps_probe(pred, args) -> dict:
+    """The reference's 'fps' mode (predict.py:46-52): run the full detect
+    pipeline test_interval times on one image and report seconds/image.
+    Each call fetches results to host, so this measures true synchronous
+    end-to-end latency (preprocess + forward + decode + NMS + unmap),
+    mirroring the reference get_FPS convention of timing whole detections."""
+    import time
+
+    from PIL import Image
+
+    img = Image.open(args.image)
+    kw = dict(radar_npz=args.radar_npz or None,
+              radar_csv=args.radar_csv or None)
+    pred.detect(img, **kw)                      # warmup / compile
+    t0 = time.perf_counter()
+    for _ in range(args.test_interval):
+        pred.detect(img, **kw)
+    dt = (time.perf_counter() - t0) / args.test_interval
+    return {"test_interval": args.test_interval,
+            "seconds_per_image": round(dt, 5),
+            "fps": round(1.0 / dt, 2)}
 
 
 if __name__ == "__main__":

@@ -100,3 +100,45 @@ def test_export_stablehlo_roundtrip(predictor, tmp_path):
                     jax.tree_util.tree_leaves(got)):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_video_mode_annotates_frames(predictor, tmp_path):
+    """predict_cli 'video' mode: reads a small mp4, detects per frame,
+    writes the annotated video (reference predict.py:33-44 semantics)."""
+    import cv2
+    from achelous_tpu.predict_cli import build_parser, run_video
+
+    src = str(tmp_path / "in.mp4")
+    w = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (128, 96))
+    rng = np.random.RandomState(0)
+    for _ in range(4):
+        w.write(rng.randint(0, 255, (96, 128, 3), np.uint8))
+    w.release()
+
+    out = str(tmp_path / "out.mp4")
+    args = build_parser().parse_args(
+        ["--mode", "video", "--video", src, "--video_out", out,
+         "--max_frames", "3"])
+    res = run_video(predictor, args)
+    assert res["frames"] == 3 and res["mean_fps"] > 0
+    cap = cv2.VideoCapture(out)
+    assert cap.isOpened()
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    assert n == 3
+    cap.release()
+
+
+def test_fps_probe_mode(predictor, pil_img, tmp_path):
+    """predict_cli 'fps' mode: test_interval synchronous detections
+    (reference predict.py:46-52)."""
+    from achelous_tpu.predict_cli import build_parser, run_fps_probe
+
+    p = str(tmp_path / "probe.jpg")
+    pil_img.save(p)
+    args = build_parser().parse_args(
+        ["--mode", "fps", "--image", p, "--test_interval", "3"])
+    res = run_fps_probe(predictor, args)
+    assert res["test_interval"] == 3
+    assert res["fps"] > 0 and res["seconds_per_image"] > 0
