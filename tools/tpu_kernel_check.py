@@ -1,0 +1,146 @@
+"""Real-hardware equality check for the production-default Pallas kernels.
+
+The test suite forces the virtual CPU platform (tests/conftest.py), so the
+Pallas kernels' equality proofs there run in interpret mode — a Mosaic
+miscompile on the actual chip would be invisible to it.  This script runs the
+same equality contracts on whatever real backend the interpreter latched
+(axon TPU on this rig) and prints ONE JSON line; `--out` additionally writes
+the artifact (TPU_KERNELS.json at the repo root, committed once per round).
+
+Checks (all against the independent XLA formulations that the parity tests
+pin to the torch reference):
+  fps        pallas_farthest_point_sample == pointops XLA loop, exact int
+             equality, with and without valid masks, radar + pn2 shapes
+  attention  fused_bias_attention == reference_bias_attention composition
+  deform     banded_deform fast path == exact-gather deform_conv2d
+
+Invoked by tests/test_tpu_kernels.py (ACHELOUS_TPU_TESTS=1) as a subprocess
+so the CPU-forced pytest process stays off the chip.
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import numpy as np
+
+
+def check_fps() -> dict:
+    import jax.numpy as jnp
+    from achelous_tpu.ops.pallas_pointops import pallas_farthest_point_sample
+    from achelous_tpu.ops.pointops import farthest_point_sample
+
+    rng = np.random.RandomState(0)
+    mismatches = 0
+    cases = []
+    for b, n, npoint, masked in [(2, 512, 128, False), (2, 512, 128, True),
+                                 (4, 128, 64, True), (1, 1024, 256, False)]:
+        xyz = jnp.asarray(rng.randn(b, n, 3), jnp.float32)
+        valid = None
+        if masked:
+            v = rng.rand(b, n) < 0.7
+            v[:, 0] = True          # both impls start at point 0
+            valid = jnp.asarray(v)
+        want = np.asarray(farthest_point_sample(xyz, npoint, valid,
+                                                use_pallas=False))
+        got = np.asarray(pallas_farthest_point_sample(xyz, npoint, valid))
+        bad = int((got != want).sum())
+        mismatches += bad
+        cases.append({"b": b, "n": n, "npoint": npoint, "masked": masked,
+                      "mismatched_indices": bad})
+    return {"ok": mismatches == 0, "cases": cases}
+
+
+def check_attention() -> dict:
+    import jax.numpy as jnp
+    from achelous_tpu.ops.pallas_attention import (fused_bias_attention,
+                                                   reference_bias_attention)
+
+    rng = np.random.RandomState(1)
+    worst = 0.0
+    cases = []
+    # (b, h, n, dk, dv): EfficientFormerV2 S0..S2 shapes at 320^2 (res 10
+    # n=100 / stride path n=25) plus the 64^2 test shape
+    for b, h, n, dk, dv in [(1, 8, 100, 32, 128), (2, 8, 25, 32, 128),
+                            (1, 10, 100, 32, 160), (2, 8, 4, 32, 128)]:
+        q = jnp.asarray(rng.randn(b, h, n, dk), jnp.float32)
+        k = jnp.asarray(rng.randn(b, h, n, dk), jnp.float32)
+        v = jnp.asarray(rng.randn(b, h, n, dv), jnp.float32)
+        bias = jnp.asarray(rng.randn(h, n, n) * 0.1, jnp.float32)
+        th1w = jnp.asarray(rng.randn(h, h) * 0.3, jnp.float32)
+        th2w = jnp.asarray(rng.randn(h, h) * 0.3, jnp.float32)
+        th1b = jnp.asarray(rng.randn(h) * 0.1, jnp.float32)
+        th2b = jnp.asarray(rng.randn(h) * 0.1, jnp.float32)
+        scale = dk ** -0.5
+        want = np.asarray(reference_bias_attention(
+            q, k, v, bias, th1w, th1b, th2w, th2b, scale))
+        got = np.asarray(fused_bias_attention(
+            q, k, v, bias, th1w, th1b, th2w, th2b, scale))
+        err = float(np.abs(got - want).max() /
+                    max(np.abs(want).max(), 1e-9))
+        worst = max(worst, err)
+        cases.append({"shape": [b, h, n, dk, dv], "rel_err": round(err, 8)})
+    return {"ok": worst < 1e-4, "worst_rel_err": worst, "cases": cases}
+
+
+def check_deform() -> dict:
+    import jax.numpy as jnp
+    from achelous_tpu.ops.deform import deform_conv2d
+
+    rng = np.random.RandomState(2)
+    worst = 0.0
+    cases = []
+    for b, h, w, c, cout in [(1, 40, 40, 3, 16), (2, 13, 17, 8, 5)]:
+        x = rng.randn(b, h, w, c).astype(np.float32)
+        off = (rng.rand(b, h, w, 18).astype(np.float32) * 2 - 1) * 3.0
+        mask = rng.rand(b, h, w, 9).astype(np.float32) * 2
+        wgt = rng.randn(3, 3, c, cout).astype(np.float32) * 0.3
+        bias = rng.randn(cout).astype(np.float32)
+        args = tuple(map(jnp.asarray, (x, off, mask, wgt, bias)))
+        exact = np.asarray(deform_conv2d(*args, stride=1, padding=1,
+                                         band=None))
+        banded = np.asarray(deform_conv2d(*args, stride=1, padding=1,
+                                          band=4))
+        err = float(np.abs(banded - exact).max() /
+                    max(np.abs(exact).max(), 1e-9))
+        worst = max(worst, err)
+        cases.append({"shape": [b, h, w, c, cout], "rel_err": round(err, 8)})
+    return {"ok": worst < 1e-5, "worst_rel_err": worst, "cases": cases}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="", help="also write the JSON artifact")
+    args = ap.parse_args(argv)
+
+    import jax
+    backend = jax.default_backend()
+    # fp32-strict matmuls: on TPU the default precision rounds matmul
+    # operands to bf16, which rounds the two mathematically-equal
+    # formulations DIFFERENTLY (they schedule different matmuls) — measured
+    # 0.62% attention / 0.11% deform rel err under default precision vs
+    # <1e-4 under highest.  The equality contract is about Mosaic compiling
+    # the kernel correctly, so it is asserted at fp32 precision; bf16
+    # rounding of the surrounding program is the normal production dtype
+    # policy, not a kernel property.
+    with jax.default_matmul_precision("highest"):
+        result = {"backend": backend,
+                  "device": str(jax.devices()[0]),
+                  "fps": check_fps(),
+                  "attention": check_attention(),
+                  "deform": check_deform()}
+    result["ok"] = all(result[k]["ok"] for k in ("fps", "attention",
+                                                 "deform"))
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    return 0 if result["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
