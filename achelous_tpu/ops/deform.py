@@ -129,7 +129,8 @@ def banded_deform_samples(x: jnp.ndarray, offset: jnp.ndarray,
 def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
                   weight: jnp.ndarray, bias: jnp.ndarray | None = None,
                   stride: int = 1, padding: int = 1,
-                  band: int | None = None) -> jnp.ndarray:
+                  band: int | None = None,
+                  use_pallas: bool | None = None) -> jnp.ndarray:
     """Modulated deformable conv.
 
     Args:
@@ -138,6 +139,8 @@ def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
       mask:   [B, Ho, Wo, K] modulation scalars.
       weight: [kh, kw, C, Cout].
       bias:   [Cout] or None.
+      use_pallas: None = auto (Pallas banded kernel on TPU backends);
+        only meaningful for the banded path.
     """
     b, h, w, c = x.shape
     kh, kw, _, cout = weight.shape
@@ -145,10 +148,22 @@ def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
     _, ho, wo, _ = offset.shape
 
     if band is not None and stride == 1 and (ho, wo) == (h, w):
-        samples = banded_deform_samples(x, offset, mask, band, kh, kw,
-                                        padding)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu", "gpu")
         wmat = weight.reshape(k * c, cout)
-        out = jnp.einsum("bhwi,io->bhwo", samples, wmat)
+        if use_pallas:
+            # channels-first kernel output, projected BEFORE the NHWC
+            # transpose: the [B,H,W,K*C] samples transpose would be K times
+            # the traffic of the projected [B,Cout,H,W] map
+            from achelous_tpu.ops.pallas_deform import (
+                pallas_deform_samples_cf)
+            samples_cf = pallas_deform_samples_cf(x, offset, mask, band,
+                                                  kh, kw, padding)
+            out = jnp.einsum("bihw,io->bhwo", samples_cf, wmat)
+        else:
+            samples = banded_deform_samples(x, offset, mask, band, kh, kw,
+                                            padding)
+            out = jnp.einsum("bhwi,io->bhwo", samples, wmat)
         if bias is not None:
             out = out + bias
         return out
@@ -201,6 +216,7 @@ class DeformableConv2d(nn.Module):
                               # forward FLOPs — the canonical remat trade
     band: int | None = None   # banded fast path (see banded_deform_samples);
                               # None = exact unbounded-offset gather
+    use_pallas: bool | None = None  # None = auto (Pallas kernel on TPU)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -224,8 +240,8 @@ class DeformableConv2d(nn.Module):
                            jnp.float32) if self.use_bias else None)
         fn = deform_conv2d
         if self.remat:
-            fn = jax.checkpoint(deform_conv2d, static_argnums=(5, 6, 7))
+            fn = jax.checkpoint(deform_conv2d, static_argnums=(5, 6, 7, 8))
         return fn(x, offset, modulator,
                   weight.astype(self.dtype),
                   None if bias is None else bias.astype(self.dtype),
-                  self.stride, self.padding, self.band)
+                  self.stride, self.padding, self.band, self.use_pallas)

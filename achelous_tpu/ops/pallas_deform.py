@@ -1,0 +1,208 @@
+"""Pallas TPU kernel for banded modulated deformable-conv sampling.
+
+Computes the same function as ops/deform.py `banded_deform_samples`
+(reference conv_utils/dcn.py + torchvision deform_conv2d semantics with
+offsets clipped to +-band cells) but VMEM-resident: the XLA scan
+formulation re-reads the padded image from HBM for every (tap, dy) step
+(~90 full-image passes at band=4 — fetch-forced timing 2026-08-17 put
+RCNet-S0 at 95 ms/batch at bs=32), while this kernel keeps each batch
+element's image on-chip and only streams offsets/mask in and samples out.
+
+Adaptive banding: the dense shift-window sum costs 9*(2r+2)^2 VPU passes
+per pixel, but the bilinear hat weights relu(1-|o-d|) are zero outside a
+2-cell support, so an image whose offsets all satisfy |o| <= r_eff can be
+computed EXACTLY (zero terms are exact fp no-ops) with the r_eff window.
+The kernel branches per batch element on max|offset|:
+
+  tier 0  all offsets zero   -> 9 masked shifted copies (the reference's
+                                 zero-init regime, dcn.py:29-40)
+  tier 1  |o| <= 1           -> 4^2-window dense sum
+  tier 2  |o| <= 2           -> 6^2-window dense sum
+  tier 3  otherwise          -> full (2*band+2)^2 window
+
+Layout: channels-first inside the kernel (C is as small as 3 in RCNet —
+NHWC would occupy 3/128 lanes; [*, H, W] puts W on the lane axis).  The
+channels-first entry point `pallas_deform_samples_cf` returns [B, K*C, H,
+W] so the caller can run the output projection before transposing back —
+the [B, H, W, K*C] samples transpose is 9x the traffic of the projected
+[B, Cout, H, W] map.
+
+Gradients: custom_vjp whose backward is the VJP of the (mathematically
+identical) XLA banded path, so training works unchanged.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _row_tile(h: int, w: int) -> int:
+    """Largest 16-aligned divisor of h keeping the tile around <=8k px.
+
+    Multi-tile starts i*th must be provably aligned to the sublane tile
+    for Mosaic's dynamic loads — 16 rows for bf16 (tile (16, 128)), which
+    also covers f32's 8; a single whole-image tile always starts at 0.
+    The pixel cap bounds Mosaic's per-kernel stack: the ~1400 unrolled
+    hat/FMA ops each hold a [th, w] f32 temporary, and the stack
+    allocator does not fully reuse them (measured 108 MB scoped vmem at
+    [80, 160] tiles, well under the limit at half that), while
+    whole-image 320^2 blocks also took >35 min of codegen."""
+    target = max(16, 8192 // max(w, 1))
+    if h <= target:
+        return h
+    best = h
+    for th in range(16, h):
+        if h % th == 0 and th % 16 == 0 and th <= target:
+            best = th
+    return best
+
+
+def _deform_kernel(x_ref, off_ref, mask_ref, out_ref, acc_ref, *,
+                   band: int, kh: int, kw: int, th: int, w: int, c: int,
+                   pad: int, padding: int, single_tile: bool):
+    k = kh * kw
+    i = pl.program_id(1)
+    row0 = i * th
+    # compute in f32 regardless of input dtype: bf16 in-kernel math makes
+    # Mosaic's (16,128)-tile relayouts blow the scoped-vmem stack (125 MB
+    # at 320^2 vs 34 MB f32), and f32 VPU throughput is the same.
+    off = off_ref[0].astype(jnp.float32)              # [2K, TH, W]
+    mask = mask_ref[0].astype(jnp.float32)            # [K, TH, W]
+    mo = jnp.max(jnp.abs(off))
+
+    # ONE aligned load of the tile's halo slab; every tap/shift below is a
+    # STATIC slice of it.  Multi-tile grids use a dynamic start (i*th,
+    # provably 16-aligned by _row_tile); a single-tile grid must use a
+    # static 0 start — Mosaic cannot prove i*th aligned when th itself is
+    # not (e.g. the 20^2 RCNet stage), even though i is always 0.
+    if single_tile:
+        slab = x_ref[0, :, 0:th + 2 * pad, :].astype(jnp.float32)
+    else:
+        slab = x_ref[0, :, pl.ds(row0, th + 2 * pad), :].astype(jnp.float32)
+
+    def xs(ty, tx, dy, dx):
+        """Slab slice for tap (ty, tx) shifted by (dy, dx)."""
+        return slab[:, pad + ty + dy:pad + ty + dy + th,
+                    pad + tx + dx:pad + tx + dx + w]
+
+    def dense(r_eff: int):
+        # accumulate in a VMEM scratch ref: an SSA value chain of 900
+        # unrolled adds makes Mosaic's stack allocator keep every term
+        # alive (34 MB scoped-vmem OOM at 320^2); in-place ref updates
+        # reuse one buffer.
+        for ki in range(k):
+            ty, tx = ki // kw - padding, ki % kw - padding
+            oy = jnp.clip(off[2 * ki], -band, band)
+            ox = jnp.clip(off[2 * ki + 1], -band, band)
+            acc_ref[:] = jnp.zeros((c, th, w), jnp.float32)
+            for dy in range(-r_eff, r_eff + 2):
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(oy - dy))
+                for dx in range(-r_eff, r_eff + 2):
+                    wx = jnp.maximum(0.0, 1.0 - jnp.abs(ox - dx))
+                    acc_ref[:] = acc_ref[:] + (wy * wx)[None] * xs(
+                        ty, tx, dy, dx)
+            out_ref[0, ki * c:(ki + 1) * c] = (
+                acc_ref[:] * mask[ki][None]).astype(out_ref.dtype)
+
+    @pl.when(mo == 0.0)
+    def _():
+        for ki in range(k):
+            ty, tx = ki // kw - padding, ki % kw - padding
+            out_ref[0, ki * c:(ki + 1) * c] = (
+                xs(ty, tx, 0, 0) * mask[ki][None]).astype(out_ref.dtype)
+
+    tiers = sorted({r for r in (1, 2, band) if r <= band})
+    lo = 0.0
+    for r_eff in tiers:
+        is_last = r_eff == tiers[-1]
+        cond = ((mo > lo) & (mo <= r_eff)) if not is_last else (mo > lo)
+        pl.when(cond)(functools.partial(dense, r_eff))
+        lo = float(r_eff)
+
+
+def _pallas_deform_cf_impl(xcf, ocf, mcf, band, kh, kw, padding,
+                           interpret=False):
+    """Channels-first impl: xcf [B,C,H,W], ocf [B,2K,H,W], mcf [B,K,H,W]
+    -> samples [B, K*C, H, W] (tap-major)."""
+    b, c, h, w = xcf.shape
+    k = kh * kw
+    r = int(band)
+    # halo reach is r+1+tap, rounded up to 8 to keep sublane alignment
+    pad = -(-(r + 1 + max(padding, max(kh, kw) // 2)) // 8) * 8
+    th = _row_tile(h, w)
+
+    xp = jnp.pad(xcf, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
+    kernel = functools.partial(_deform_kernel, band=r, kh=kh, kw=kw, th=th,
+                               w=w, c=c, pad=pad, padding=padding,
+                               single_tile=(th == h))
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h // th),
+        in_specs=[
+            pl.BlockSpec((1, c, h + 2 * pad, w + 2 * pad),
+                         lambda bi, i: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * k, th, w), lambda bi, i: (bi, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, th, w), lambda bi, i: (bi, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, k * c, th, w),
+                               lambda bi, i: (bi, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, k * c, h, w), xcf.dtype),
+        scratch_shapes=[pltpu.VMEM((c, th, w), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, ocf, mcf)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def pallas_deform_samples_cf(x: jnp.ndarray, offset: jnp.ndarray,
+                             mask: jnp.ndarray, band: int, kh: int,
+                             kw: int, padding: int = 1,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Banded deformable sampling on TPU via Pallas, channels-first out.
+
+    NHWC args as in ops/deform.py `banded_deform_samples` (x [B,H,W,C],
+    offset [B,H,W,2K], mask [B,H,W,K]) but returns [B, K*C, H, W]
+    (tap-major) so the output projection can run before the NHWC
+    transpose.  Stride-1 only.  interpret=True runs in the Pallas
+    interpreter (the CPU equality tests)."""
+    return _pallas_deform_cf_impl(
+        x.transpose(0, 3, 1, 2), offset.transpose(0, 3, 1, 2),
+        mask.transpose(0, 3, 1, 2), band, kh, kw, padding, interpret)
+
+
+def _cf_fwd(x, offset, mask, band, kh, kw, padding, interpret=False):
+    out = pallas_deform_samples_cf(x, offset, mask, band, kh, kw, padding,
+                                   interpret)
+    return out, (x, offset, mask)
+
+
+def _cf_bwd(band, kh, kw, padding, interpret, res, g):
+    from achelous_tpu.ops.deform import banded_deform_samples
+    x, offset, mask = res
+    _, pullback = jax.vjp(
+        lambda xx, oo, mm: banded_deform_samples(xx, oo, mm, band, kh, kw,
+                                                 padding),
+        x, offset, mask)
+    return pullback(g.transpose(0, 2, 3, 1))
+
+
+pallas_deform_samples_cf.defvjp(_cf_fwd, _cf_bwd)
+
+
+def pallas_deform_samples(x: jnp.ndarray, offset: jnp.ndarray,
+                          mask: jnp.ndarray, band: int, kh: int, kw: int,
+                          padding: int = 1,
+                          interpret: bool = False) -> jnp.ndarray:
+    """NHWC wrapper: returns [B, H, W, K*C] exactly like
+    ops/deform.py `banded_deform_samples`."""
+    return pallas_deform_samples_cf(x, offset, mask, band, kh, kw, padding,
+                                    interpret).transpose(0, 2, 3, 1)
