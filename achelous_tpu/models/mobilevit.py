@@ -91,6 +91,22 @@ class TransformerBlock(nn.Module):
         return x + h
 
 
+class _TransformerScanBody(nn.Module):
+    """nn.scan body: one remat'd TransformerBlock per scan step."""
+    dim: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, _):
+        x = nn.remat(TransformerBlock)(
+            self.dim, heads=self.heads, dim_head=self.dim_head,
+            mlp_dim=self.mlp_dim, dtype=self.dtype, name="block")(x)
+        return x, None
+
+
 class MobileViTBlock(nn.Module):
     """mobilevit.py:134-165: local conv, project to dim, per-patch-position
     global attention, project back, concat with input, fuse conv."""
@@ -117,13 +133,20 @@ class MobileViTBlock(nn.Module):
         # remat: the stored [B, P, heads, N, N] attention probabilities are
         # the dominant train-memory term at 320² (bs=32 OOM'd one v5e);
         # recomputing them in backward costs a rounding error of the FLOPs.
-        # nn.remat is transparent to param paths, so torch transplant
-        # mappings are unchanged.
-        TB = nn.remat(TransformerBlock)
-        for i in range(self.depth):
-            x = TB(self.dim, heads=4, dim_head=8,
-                   mlp_dim=self.mlp_dim, dtype=self.dtype,
-                   name=f"transformer_{i}")(x)
+        # scan over depth: ONE traced block body instead of `depth`
+        # unrolled copies — the unrolled MV-S1 train step at bs=32
+        # exceeded the remote-compile helper's graph-size limit
+        # (ARCHITECTURE.md).  Params gain a leading [depth] axis under
+        # 'transformer/block'; the torch transplant mapping writes each
+        # reference layer into its slice (utils/torch_import.py stacked
+        # entries).
+        ScanTB = nn.scan(_TransformerScanBody,
+                         variable_axes={"params": 0},
+                         split_rngs={"params": True},
+                         length=self.depth)
+        x, _ = ScanTB(self.dim, heads=4, dim_head=8,
+                      mlp_dim=self.mlp_dim, dtype=self.dtype,
+                      name="transformer")(x, None)
         x = x.reshape(b, ph, pw, h, w, d)
         x = x.transpose(0, 3, 1, 4, 2, 5).reshape(b, hh, ww, d)
 
