@@ -6,11 +6,23 @@ batch 1 in bf16 on one chip, mirroring the reference FPS convention
 (nets/Achelous.py:111-116, README.md:115-116: RTX A4000 = 61.3 FPS for
 EN-GDF-PN-S0).
 
+TIMING METHODOLOGY (changed round 3): earlier rounds timed a Python
+dispatch loop closed by jax.block_until_ready — but on the axon tunnel
+block_until_ready returns at ENQUEUE, not completion (measured 2026-08-17:
+40 chained 8192^3 bf16 matmuls "ready" in 0.13 ms = an impossible
+56 PFLOP/s; 250 ms when completion is forced by a fetch = 89% of spec
+peak), so those numbers were dispatch rates, not device throughput.  This
+bench chains the full pipeline N times inside ONE jitted lax.fori_loop
+with a data dependency on every input, forces completion by fetching a
+scalar, and reports the slope between two chain lengths — which cancels
+both the one-time fetch sync and the post-fetch degraded-dispatch
+constant.  See utils/profiling.device_time_per_iter.
+
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
 """
 import json
-import time
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -19,6 +31,7 @@ import numpy as np
 from achelous_tpu.core.config import AchelousConfig
 from achelous_tpu.models.achelous import create_model
 from achelous_tpu.ops.postprocess import decode_outputs, non_max_suppression
+from achelous_tpu.utils.profiling import _tiny_scalar, device_time_per_iter
 
 BASELINE_FPS_A4000 = 61.3   # reference README.md:81 (EN-GDF-PN-S0, FPSg)
 
@@ -34,28 +47,27 @@ def main():
     pc = jnp.asarray(rng.rand(1, cfg.pc_points, cfg.pc_channels), jnp.bfloat16)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), image, radar, pc)
 
-    @jax.jit
-    def infer(v, image, radar, pc):
-        det, sem, lane, pcseg = model.apply(v, image, radar, pc)
+    def step(carry):
+        """One full inference; every input is perturbed by a function of the
+        outputs so NO branch is loop-invariant (XLA hoists any input whose
+        carry does not change — an earlier probe that perturbed only the
+        image measured a model with the whole radar branch hoisted out)."""
+        img, rad, p = carry
+        det, sem, lane, pcseg = model.apply(variables, img, rad, p)
         decoded = decode_outputs(det, (r, r))
         dets = non_max_suppression(decoded, cfg.num_det, 0.35, 0.35)
-        return dets, sem, lane, pcseg
+        s = _tiny_scalar((dets, sem, lane, pcseg)) * jnp.float32(1e-12)
+        return (img + s.astype(img.dtype), rad + s.astype(rad.dtype),
+                p + s.astype(p.dtype))
 
-    # warmup / compile
-    for _ in range(5):
-        out = infer(variables, image, radar, pc)
-    jax.block_until_ready(out)
-
-    n = 100
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = infer(variables, image, radar, pc)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n
+    dt = device_time_per_iter(step, (image, radar, pc), n1=100, n2=500,
+                              repeats=3)
     fps = 1.0 / dt
+    print(json.dumps({"s_per_frame": dt}), file=sys.stderr)
 
     print(json.dumps({
-        "metric": "EN-GDF-PN-S0 320x320 5-task inference (fwd+decode+NMS, bs=1, bf16)",
+        "metric": "EN-GDF-PN-S0 320x320 5-task inference "
+                  "(fwd+decode+NMS, bs=1, bf16, fetch-forced device time)",
         "value": round(fps, 1),
         "unit": "fps/chip",
         "vs_baseline": round(fps / BASELINE_FPS_A4000, 2),

@@ -8,6 +8,11 @@ and writes one JSON document (default: BENCH_SWEEP.json at the repo root —
 committed once per round so the perf claims are reproducible artifacts,
 VERDICT r1 item 9).
 
+All numbers are TRUE device throughput (fetch-forced fori_loop slope,
+utils/profiling.device_time_per_iter) — NOT comparable to the r1/r2
+sweeps, which unknowingly measured the axon tunnel's dispatch-enqueue
+rate (block_until_ready there returns at enqueue; see bench.py).
+
 Usage:
   python tools/bench_sweep.py [--out BENCH_SWEEP.json] [--configs EN-GDF-PN-S0,...]
          [--iters 100] [--skip-train]
@@ -18,7 +23,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -45,7 +49,8 @@ def bench_config(name: str, ref_fps, iters: int, with_train: bool) -> dict:
     from achelous_tpu.core.config import AchelousConfig
     from achelous_tpu.models.achelous import create_model
     from achelous_tpu.ops.postprocess import decode_outputs, non_max_suppression
-    from achelous_tpu.utils.profiling import count_params, flops_of, fps
+    from achelous_tpu.utils.profiling import (_tiny_scalar, count_params,
+                                              device_time_per_iter, flops_of)
 
     cfg = AchelousConfig(resolution=320, dtype=jnp.bfloat16,
                          **parse_name(name))
@@ -60,23 +65,42 @@ def bench_config(name: str, ref_fps, iters: int, with_train: bool) -> dict:
                             jnp.bfloat16))
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), *inputs(1))
 
-    def infer(v, image, radar, pc):
+    # All timings are TRUE device time via fetch-forced fori_loop slopes
+    # (utils/profiling.device_time_per_iter) — wall-clock dispatch loops
+    # measure the axon tunnel's ENQUEUE rate, not execution (the r2 sweep's
+    # 43k fps at bs=32 implied 296 TFLOP/s on a 197-peak chip).  Every
+    # input is perturbed per iteration so no model branch is
+    # loop-invariant.
+    def infer_step(carry):
+        img, rad, pc = carry
+        det, sem, lane, pcseg = model.apply(variables, img, rad, pc)
+        decoded = decode_outputs(det, (r, r))
+        nms = non_max_suppression(decoded, cfg.num_det, 0.35, 0.35)
+        s = _tiny_scalar((nms, sem, lane, pcseg)) * jnp.float32(1e-12)
+        return (img + s.astype(img.dtype), rad + s.astype(rad.dtype),
+                pc + s.astype(pc.dtype))
+
+    out = {"config": name, "ref_fps_a4000": ref_fps,
+           "params": count_params(variables["params"]),
+           "method": "fetch-forced device time (profiling."
+                     "device_time_per_iter)"}
+
+    def full_for_flops(v, image, radar, pc):
         det, sem, lane, pcseg = model.apply(v, image, radar, pc)
         decoded = decode_outputs(det, (r, r))
         return (non_max_suppression(decoded, cfg.num_det, 0.35, 0.35),
                 sem, lane, pcseg)
 
-    out = {"config": name, "ref_fps_a4000": ref_fps,
-           "params": count_params(variables["params"])}
     try:
-        out["flops_bs1"] = flops_of(infer, variables, *inputs(1))
+        out["flops_bs1"] = flops_of(full_for_flops, variables, *inputs(1))
     except Exception:
         out["flops_bs1"] = None
 
-    for bs in (1, 32):
-        f = fps(infer, variables, *inputs(bs), iters=iters)
-        out[f"infer_bs{bs}_batches_per_s"] = round(f, 2)
-        out[f"infer_bs{bs}_fps"] = round(f * bs, 1)
+    for bs, ns in ((1, (50, 250)), (32, (10, 50))):
+        t = device_time_per_iter(infer_step, inputs(bs), n1=ns[0],
+                                 n2=ns[1], repeats=3)
+        out[f"infer_bs{bs}_s_per_batch"] = round(t, 6)
+        out[f"infer_bs{bs}_fps"] = round(bs / t, 1)
     if ref_fps:
         out["vs_a4000_bs1"] = round(out["infer_bs1_fps"] / ref_fps, 2)
 
@@ -91,22 +115,23 @@ def bench_config(name: str, ref_fps, iters: int, with_train: bool) -> dict:
                 tcfg = TrainConfig(batch_size=bs)
                 state = create_train_state(model, cfg, tcfg,
                                            jax.random.PRNGKey(0), inputs(2))
-                step = jax.jit(make_train_step(model, cfg, tcfg))
+                raw_step = make_train_step(model, cfg, tcfg)
                 batch = {k: jnp.asarray(v) for k, v in
                          synthetic_batch(cfg, bs, tcfg.max_gt).items()}
                 lr = jnp.float32(1e-3)
-                for _ in range(3):
-                    state, m = step(state, batch, lr)
-                jax.block_until_ready(m)
-                t0 = time.perf_counter()
-                n = max(iters // 5, 10)
-                for _ in range(n):
-                    state, m = step(state, batch, lr)
-                jax.block_until_ready(m)
-                sps = n / (time.perf_counter() - t0)
+
+                def train_step(state, raw_step=raw_step, batch=batch,
+                               lr=lr):
+                    # the optimizer state carries the iteration-to-
+                    # iteration dependency; batch reuse matches a steady
+                    # dataloader-fed loop
+                    return raw_step(state, batch, lr)[0]
+
+                t = device_time_per_iter(train_step, state, n1=3, n2=12,
+                                         repeats=3)
                 out["train_bs"] = bs
-                out["train_steps_per_s"] = round(sps, 3)
-                out["train_samples_per_s"] = round(sps * bs, 1)
+                out["train_steps_per_s"] = round(1.0 / t, 3)
+                out["train_samples_per_s"] = round(bs / t, 1)
                 break
             except Exception as e:       # HBM OOM at this batch — halve
                 print(f"train bs={bs} failed "

@@ -87,8 +87,11 @@ def check_attention() -> dict:
 
 
 def check_deform() -> dict:
+    """banded==exact (use_pallas=False) AND the production-default Pallas
+    kernel == the XLA banded path, both on the real chip."""
     import jax.numpy as jnp
-    from achelous_tpu.ops.deform import deform_conv2d
+    from achelous_tpu.ops.deform import banded_deform_samples, deform_conv2d
+    from achelous_tpu.ops.pallas_deform import pallas_deform_samples
 
     rng = np.random.RandomState(2)
     worst = 0.0
@@ -103,11 +106,23 @@ def check_deform() -> dict:
         exact = np.asarray(deform_conv2d(*args, stride=1, padding=1,
                                          band=None))
         banded = np.asarray(deform_conv2d(*args, stride=1, padding=1,
-                                          band=4))
+                                          band=4, use_pallas=False))
         err = float(np.abs(banded - exact).max() /
                     max(np.abs(exact).max(), 1e-9))
         worst = max(worst, err)
         cases.append({"shape": [b, h, w, c, cout], "rel_err": round(err, 8)})
+    # Mosaic kernel vs XLA banded, per adaptive tier
+    for scale in (0.0, 0.9, 1.8, 3.5):
+        x = jnp.asarray(rng.randn(1, 40, 40, 3), jnp.float32)
+        off = jnp.asarray((rng.rand(1, 40, 40, 18) * 2 - 1) * scale,
+                          jnp.float32)
+        mask = jnp.asarray(rng.rand(1, 40, 40, 9) * 2, jnp.float32)
+        want = np.asarray(banded_deform_samples(x, off, mask, 4, 3, 3, 1))
+        got = np.asarray(pallas_deform_samples(x, off, mask, 4, 3, 3, 1))
+        err = float(np.abs(got - want).max() /
+                    max(np.abs(want).max(), 1e-9))
+        worst = max(worst, err)
+        cases.append({"pallas_tier_scale": scale, "rel_err": round(err, 8)})
     return {"ok": worst < 1e-5, "worst_rel_err": worst, "cases": cases}
 
 
