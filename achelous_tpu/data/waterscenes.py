@@ -133,6 +133,18 @@ class WaterScenesDataset:
         return os.path.splitext(line.split()[0].split("/")[-1])[0]
 
     def __getitem__(self, index: int) -> dict:
+        sample = self._load_one(index)
+        a = self.augment
+        if (a is not None and getattr(a, "mosaic_prob", 0.0) > 0.0
+                and self.rng.rand() < a.mosaic_prob):
+            from achelous_tpu.data.augment import mosaic_samples
+            others = [self._load_one(self.rng.randint(len(self.lines)))
+                      for _ in range(3)]
+            sample = mosaic_samples([sample] + others, self.cfg.resolution,
+                                    self.rng, a.mosaic_center)
+        return sample
+
+    def _load_one(self, index: int) -> dict:
         from PIL import Image
         cfg = self.cfg
         r = cfg.resolution

@@ -66,6 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "on the train set (data/augment.py; the reference's "
                         "augmentations are dead code, see ARCHITECTURE.md "
                         "deviation 7)")
+    p.add_argument("--mosaic", type=float, default=0.0, metavar="PROB",
+                   help="probability of the 4-sample radar-consistent "
+                        "mosaic (data/augment.mosaic_samples; rebuilds the "
+                        "reference's dead mosaic, dataloader.py:236-487, "
+                        "with the raw radar points re-splatted per "
+                        "quadrant); implies --augment")
     p.add_argument("--resume", default="",
                    help="checkpoint name under <log_dir>/ckpt to resume from")
     return p
@@ -105,9 +111,9 @@ def main(argv=None):
             radar_csv_dir=os.path.join(args.data_root, "radar"))
 
     acfg = None
-    if args.augment:
+    if args.augment or args.mosaic > 0:
         from achelous_tpu.data.augment import AugmentConfig
-        acfg = AugmentConfig()
+        acfg = AugmentConfig(mosaic_prob=args.mosaic)
     train_ds = WaterScenesDataset(cfg, paths(args.annotation), augment=acfg)
     val_path = os.path.join(args.data_root, args.val_annotation)
     val_ds = WaterScenesDataset(cfg, paths(args.val_annotation)) \

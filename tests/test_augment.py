@@ -162,3 +162,165 @@ def test_dataset_augment_wiring(tmp_path):
     base = WaterScenesDataset(cfg, paths)[0]
     # flip with prob 1: the box cx must mirror the unaugmented one
     np.testing.assert_allclose(s["boxes"][0, 0], 64 - base["boxes"][0, 0])
+
+
+# ---------------------------------------------------------------------------
+# mosaic (radar-consistent rebuild of the reference's dead 4-image mosaic,
+# utils/dataloader.py:236-487)
+
+class _CenterRng:
+    """RandomState stand-in that pins the mosaic center to the midpoint."""
+
+    def __init__(self, seed=0):
+        self._r = np.random.RandomState(seed)
+
+    def uniform(self, lo, hi, size=None):
+        if size is None:
+            return (lo + hi) / 2.0
+        return self._r.uniform(lo, hi, size)
+
+    def __getattr__(self, k):
+        return getattr(self._r, k)
+
+
+def _mosaic_inputs(seed=0, n_pts=4):
+    rng = np.random.RandomState(seed)
+    samples = []
+    for i in range(4):
+        s = _sample(np.random.RandomState(seed + i))
+        s["seg"][:] = i + 1
+        s["wl"][:] = i % 2
+        s["radar_map"][:] = float(i + 1)
+        s["boxes"] = np.array([[20.0 + i, 30.0, 10.0, 8.0, float(i)]],
+                              np.float32)
+        pts = np.zeros((16, 5), np.float32)
+        pts[:n_pts, :3] = i + 1
+        # u/v spread far apart so transformed points never collide
+        pts[:n_pts, U_COLUMN] = rng.uniform(100, 1800, n_pts)
+        pts[:n_pts, 4] = rng.uniform(100, 1000, n_pts)
+        s["radar_points"] = pts
+        s["radar_points_valid"] = np.arange(16) < n_pts
+        samples.append(s)
+    return samples
+
+
+def test_mosaic_box_geometry_and_masks():
+    from achelous_tpu.data.augment import mosaic_samples
+    samples = _mosaic_inputs()
+    out = mosaic_samples(samples, R, _CenterRng())
+    c = R // 2
+    # center pinned at (0.5, 0.5): each box scales by exactly 1/2 into its
+    # quadrant, classes preserved
+    quads = ((0, 0), (c, 0), (0, c), (c, c))
+    assert len(out["boxes"]) == 4
+    for i, (x0, y0) in enumerate(quads):
+        bx = samples[i]["boxes"][0]
+        expect = [bx[0] / 2 + x0, bx[1] / 2 + y0, bx[2] / 2, bx[3] / 2, bx[4]]
+        got = out["boxes"][out["boxes"][:, 4] == i][0]
+        np.testing.assert_allclose(got, expect, rtol=1e-6)
+    # masks + raster radar map: each quadrant holds its sample's constant
+    for i, (x0, y0) in enumerate(quads):
+        assert (out["seg"][y0:y0 + c, x0:x0 + c] == i + 1).all()
+        assert (out["wl"][y0:y0 + c, x0:x0 + c] == i % 2).all()
+        assert (out["radar_map"][y0:y0 + c, x0:x0 + c] == i + 1).all()
+    # pc branch: primary sample's cloud untouched
+    np.testing.assert_array_equal(out["pc"], samples[0]["pc"])
+    np.testing.assert_array_equal(out["pc_labels"], samples[0]["pc_labels"])
+
+
+def test_mosaic_points_land_in_their_quadrant_cells():
+    """The per-quadrant (u, v) affine must put every re-splatted point at
+    exactly the grid cell its quadrant geometry predicts — the invariant
+    that makes the on-device mosaic radar map exact (the reference's
+    offline-raster mosaic could only approximate this)."""
+    import jax.numpy as jnp
+    from achelous_tpu.data.augment import SRC_H, mosaic_samples
+    from achelous_tpu.ops.radar_splat import splat_radar_fast
+
+    res = 320
+    samples = _mosaic_inputs(seed=3)
+    for s in samples:  # run at the real splat resolution
+        for k in ("image",):
+            s[k] = np.zeros((res, res, 3), np.float32)
+        s["seg"] = np.zeros((res, res), np.int32)
+        s["wl"] = np.zeros((res, res), np.int32)
+        s["radar_map"] = None
+    rng = _CenterRng(1)
+    out = mosaic_samples(samples, res, rng)
+    c = res // 2
+    quads = ((0, 0), (c, 0), (0, c), (c, c))
+
+    grid = np.asarray(splat_radar_fast(
+        jnp.asarray(out["radar_points"]),
+        jnp.asarray(out["radar_points_valid"]), resolution=res))
+    n_valid = int(out["radar_points_valid"].sum())
+    assert n_valid == 16     # 4 samples x 4 points, under the 16-point cap
+    seen = 0
+    for i, (x0, y0) in enumerate(quads):
+        for u, v in zip(*[samples[i]["radar_points"][:4, col]
+                          for col in (U_COLUMN, 4)]):
+            colx = int(np.floor((u * 0.5 + x0 * SRC_W / res)
+                                / (SRC_W / res)))
+            rowy = int(np.floor((v * 0.5 + y0 * SRC_H / res)
+                                / (SRC_H / res)))
+            assert x0 <= colx < x0 + c and y0 <= rowy < y0 + c
+            # splat layout: H indexes v, W indexes u
+            np.testing.assert_allclose(grid[rowy, colx], i + 1, rtol=1e-6)
+            seen += 1
+    assert seen == 16
+
+
+def test_mosaic_point_cap_subsamples_without_replacement():
+    from achelous_tpu.data.augment import mosaic_samples
+    samples = _mosaic_inputs(seed=5, n_pts=16)   # 64 points > 16 cap
+    out = mosaic_samples(samples, R, _CenterRng(2))
+    assert out["radar_points_valid"].sum() == 16
+    feats = out["radar_points"][out["radar_points_valid"]][:, :3]
+    # no duplicate rows (choice without replacement); features from >1 frame
+    assert len(np.unique(out["radar_points"][out["radar_points_valid"]],
+                         axis=0)) == 16
+    assert len(np.unique(feats[:, 0])) > 1
+
+
+def test_dataset_mosaic_wiring(tmp_path):
+    """mosaic_prob=1 composes 4 loads into one sample end-to-end, and the
+    result collates into the static train batch."""
+    from PIL import Image
+    from achelous_tpu.core.config import AchelousConfig
+    from achelous_tpu.data.waterscenes import (WaterScenesDataset,
+                                               WaterScenesPaths, collate)
+
+    img_dir = tmp_path / "images"; img_dir.mkdir()
+    sem_dir = tmp_path / "sem"; sem_dir.mkdir()
+    wl_dir = tmp_path / "wl"; wl_dir.mkdir()
+    radar_dir = tmp_path / "radar"; radar_dir.mkdir()
+    rng = np.random.RandomState(0)
+    lines = []
+    for name in ("a", "b"):
+        Image.fromarray(rng.randint(0, 255, (96, 128, 3), np.uint8)).save(
+            img_dir / f"{name}.jpg")
+        Image.fromarray(np.ones((96, 128), np.uint8)).save(
+            sem_dir / f"{name}.png")
+        (radar_dir / f"{name}.csv").write_text(
+            "range,doppler,rcs,u,v,x,y,z,comp_velocity,label\n"
+            "10,1,5,100,50,1,2,3,0.5,2\n"
+            "20,2,6,60,30,2,3,4,0.6,3\n")
+        lines.append(f"{img_dir / f'{name}.jpg'} 30,20,90,70,1")
+    ann = tmp_path / "train.txt"
+    ann.write_text("\n".join(lines))
+    cfg = AchelousConfig(resolution=64, pc_points=16)
+    paths = WaterScenesPaths(annotation_file=str(ann),
+                             semantic_dir=str(sem_dir),
+                             waterline_dir=str(wl_dir),
+                             radar_csv_dir=str(radar_dir))
+    ds = WaterScenesDataset(
+        cfg, paths, augment=AugmentConfig(hflip_prob=0.0, hue=0, sat=0,
+                                          val=0, mosaic_prob=1.0))
+    s = ds[0]
+    assert s["image"].shape == (64, 64, 3)
+    assert s["name"].endswith("_mosaic")
+    assert len(s["boxes"]) == 4                  # one box per quadrant
+    assert s["radar_points_valid"].sum() == 8    # 2 points x 4 quadrants
+    batch = collate([s, ds[1]], cfg, max_gt=10)
+    assert batch["gt_mask"].sum() == 8
+    assert batch["radar_points"].shape == (2, 16, 5)
