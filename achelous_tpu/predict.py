@@ -78,8 +78,7 @@ class AchelousPredictor:
         self.variables = variables
         r = cfg.resolution
 
-        @jax.jit
-        def _infer(variables, image, radar, pc):
+        def _infer_fn(variables, image, radar, pc):
             det, sem, lane, pcseg = self.model.apply(variables, image, radar,
                                                      pc, train=False)
             decoded = decode_outputs(det, (r, r))
@@ -89,7 +88,30 @@ class AchelousPredictor:
             lane_prob = jax.nn.softmax(lane.astype(jnp.float32), -1)
             return dets, sem_prob, lane_prob, pcseg, det
 
-        self._infer = _infer
+        self._infer_fn = _infer_fn
+        self._infer = jax.jit(_infer_fn)
+
+    def sharded_infer(self, mesh=None):
+        """Data-parallel batched inference over a device mesh — the TPU-native
+        replacement for the reference's `nn.DataParallel` inference wrap
+        (achelous.py:176).
+
+        Returns a jitted fn(variables, image[B, ...], radar[B, ...],
+        pc[B, ...]) with the batch dim sharded over the mesh's axis and
+        params replicated; XLA partitions the whole fwd+decode+NMS program
+        so every chip runs its slice with no host round-trips.  B must be
+        divisible by the mesh size.  Inference crosses no batch boundaries
+        (eval-mode BN uses running stats; NMS is per-image), so outputs are
+        identical to the single-device program (pinned in
+        tests/test_host_sharding.py).
+        """
+        from achelous_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                                replicated)
+        if mesh is None:
+            mesh = make_mesh()
+        rep, sh = replicated(mesh), batch_sharding(mesh)
+        return jax.jit(self._infer_fn, in_shardings=(rep, sh, sh, sh),
+                       out_shardings=sh)
 
     # -- input preparation ---------------------------------------------------
     def prepare_image(self, pil_image):
