@@ -75,4 +75,20 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The axon tunnel occasionally reports UNAVAILABLE for minutes at a time
+    # (observed 2026-08-17, ~19:40+ UTC); retry in a FRESH process (jax
+    # caches a failed backend init for the life of the process) so a
+    # transient outage at round end doesn't void the bench artifact.
+    import os
+    import time
+    try:
+        main()
+    except Exception:
+        attempt = int(os.environ.get("ACHELOUS_BENCH_ATTEMPT", "0"))
+        if attempt >= 2:
+            raise
+        print(f"bench attempt {attempt + 1} failed; re-exec in 120 s",
+              file=sys.stderr)
+        time.sleep(120)
+        os.environ["ACHELOUS_BENCH_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
