@@ -132,3 +132,33 @@ def test_matches_oracle_exact_iou_tie():
         np.testing.assert_allclose(ours[k], ref[rk], atol=1e-9)
     # d1 must take g2 (last tie), making d2 a false positive at IoU 0.5
     assert ours["mAP50"] < 1.0
+
+
+def test_map_invariant_under_letterbox_affine():
+    """evaluate_epoch scores COCO metrics in letterbox space
+    (train/loop.py; ARCHITECTURE.md weak-point note): valid because a
+    letterbox is one shared affine (uniform scale + offset) applied to dets
+    and GTs alike, and IoU — hence every all-area COCO stat — is invariant
+    under it.  This pins that justification numerically: metrics from
+    letterboxed boxes must equal metrics from original-space boxes to float
+    precision.  (Per-area AP (APsmall etc.), if ever added, breaks this —
+    area thresholds are absolute — which is exactly the caveat the code
+    comment records.)"""
+    rng = np.random.RandomState(11)
+    dets, gts = _random_scene(rng, n_img=8, num_classes=5)
+    scale, off = 320.0 / 1920.0, np.array([0.0, 70.0, 0.0, 70.0])
+
+    def lbox(d):
+        out = dict(d)
+        out["boxes"] = np.asarray(d["boxes"]) * scale + off
+        return out
+
+    a = compute_det_metrics(dets, gts, num_classes=5, per_class=True)
+    b = compute_det_metrics([lbox(d) for d in dets], [lbox(g) for g in gts],
+                            num_classes=5, per_class=True)
+    for k in ("mAP50-95", "mAP50", "mAP75", "AR100"):
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-12, err_msg=k)
+    for k in ("per_class_ap50", "per_class_ap"):
+        np.testing.assert_allclose(
+            [a[k][c] for c in range(5)], [b[k][c] for c in range(5)],
+            rtol=1e-12, err_msg=k)
