@@ -232,6 +232,14 @@ def make_train_step(model, cfg: AchelousConfig, tcfg: TrainConfig
         else:
             grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(
                 trainable, state.batch_stats, batch)
+        # Failure detection (SURVEY §5: the reference ships none): ONE
+        # non-finite loss or gradient — a diverged SimOTA cost, a bf16
+        # overflow in the backward — would otherwise poison params, EMA and
+        # BN stats silently and permanently.  Compute the update, then keep
+        # the old state wherever the step is not finite; torch's GradScaler
+        # skips optimizer.step() the same way on inf/nan grads.
+        grad_norm = optax.global_norm(grads)
+        step_ok = jnp.isfinite(metrics["loss"]) & jnp.isfinite(grad_norm)
         updates, new_opt = opt.update(grads, state.opt_state, trainable)
         # the optimizer is built with lr=1.0; apply the per-epoch lr here
         updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
@@ -250,7 +258,12 @@ def make_train_step(model, cfg: AchelousConfig, tcfg: TrainConfig
             ema_batch_stats=ema_update(state.ema_batch_stats, new_bs, upd,
                                        tcfg.ema_decay, tcfg.ema_tau),
             ema_updates=upd)
+        skipped = state.replace(step=state.step + 1)
+        new_state = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(step_ok, n, o), new_state, skipped)
         metrics["lr"] = lr
+        metrics["grad_norm"] = grad_norm
+        metrics["skipped_nonfinite"] = 1.0 - step_ok.astype(jnp.float32)
         return new_state, metrics
 
     return train_step

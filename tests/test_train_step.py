@@ -123,3 +123,42 @@ def test_freeze_backbone_blocks_updates():
         jax.tree_util.tree_map(jnp.subtract, s1.params["det_head"],
                                state.params["det_head"]), 0.0)
     assert d_bb == 0.0 and d_head > 0.0
+
+
+def test_nonfinite_batch_skips_update():
+    """Failure detection (SURVEY §5 — the reference ships none): a batch
+    that produces a non-finite loss/grad must leave params, EMA, BN stats
+    and optimizer state untouched (torch-GradScaler skip semantics) and
+    flag metrics['skipped_nonfinite']; the next clean batch must train
+    normally from the preserved state."""
+    cfg = small_cfg()
+    tcfg = TrainConfig(max_gt=8)
+    model = create_model(cfg)
+    state = create_train_state(model, cfg, tcfg, jax.random.PRNGKey(0),
+                               example_inputs(cfg, 2))
+    step = jax.jit(make_train_step(model, cfg, tcfg))
+    batch = jax.tree_util.tree_map(jnp.asarray,
+                                   synthetic_batch(cfg, 2, tcfg.max_gt))
+    poisoned = dict(batch)
+    poisoned["image"] = batch["image"].at[0, 0, 0, 0].set(jnp.nan)
+
+    s1, m1 = step(state, poisoned, jnp.float32(0.01))
+    assert float(m1["skipped_nonfinite"]) == 1.0
+    assert int(s1.step) == 1                      # the loop still advances
+    for old, new in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+    for old, new in zip(jax.tree_util.tree_leaves(state.batch_stats),
+                        jax.tree_util.tree_leaves(s1.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+    for old, new in zip(jax.tree_util.tree_leaves(state.ema_params),
+                        jax.tree_util.tree_leaves(s1.ema_params)):
+        np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+
+    s2, m2 = step(s1, batch, jnp.float32(0.01))
+    assert float(m2["skipped_nonfinite"]) == 0.0
+    assert np.isfinite(float(m2["loss"]))
+    moved = jax.tree_util.tree_reduce(
+        lambda a, l: a + float(jnp.abs(l).sum()),
+        jax.tree_util.tree_map(jnp.subtract, s2.params, s1.params), 0.0)
+    assert moved > 0
