@@ -162,3 +162,42 @@ def test_nonfinite_batch_skips_update():
         lambda a, l: a + float(jnp.abs(l).sum()),
         jax.tree_util.tree_map(jnp.subtract, s2.params, s1.params), 0.0)
     assert moved > 0
+
+
+def test_data_parallel_invariance_1_vs_8_devices():
+    """SPMD semantic pin: one train step on the SAME global batch must
+    produce the same updated params whether the batch lives on 1 device or
+    is sharded over 8 — GSPMD's gradient all-reduce and the global-batch
+    (sync) BatchNorm statistics are exactly the unsharded math (the
+    reference's DDP+SyncBN contract, train.py:404-420).  Tolerances: the
+    bf16 forward rounds differently under partitioning and SimOTA's
+    dynamic-k assignment is a DISCRETE function of those roundings, so
+    per-param updates can differ by O(lr * grad-noise) (measured: isolated
+    elements flip by up to ~5e-4 absolute at lr=0.01); the loss itself agrees to ~1e-4 relative."""
+    cfg = small_cfg()
+    tcfg = TrainConfig(max_gt=8)
+    model = create_model(cfg)
+    state = create_train_state(model, cfg, tcfg, jax.random.PRNGKey(0),
+                               example_inputs(cfg, 2))
+    step = jax.jit(make_train_step(model, cfg, tcfg))
+    batch = jax.tree_util.tree_map(jnp.asarray,
+                                   synthetic_batch(cfg, 8, tcfg.max_gt))
+
+    s_single, m_single = step(state, batch, jnp.float32(0.01))
+
+    mesh = make_mesh(8)
+    s8, m8 = step(replicate_state(state, mesh),
+                  shard_batch(batch, mesh), jnp.float32(0.01))
+
+    np.testing.assert_allclose(float(m8["loss"]), float(m_single["loss"]),
+                               rtol=2e-4)
+    flat_a = jax.tree_util.tree_leaves(s_single.params)
+    flat_b = jax.tree_util.tree_leaves(s8.params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-2, atol=1e-3)
+    # BN running stats reduced over the global batch on both paths
+    for a, b in zip(jax.tree_util.tree_leaves(s_single.batch_stats),
+                    jax.tree_util.tree_leaves(s8.batch_stats)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-2, atol=1e-3)
