@@ -1,0 +1,26 @@
+"""Central auto-enable policy for the production Pallas kernels.
+
+Three kernels default on for TPU backends (fused bias-attention,
+models/efficientformer.py; banded deformable sampling, ops/deform.py; FPS,
+ops/pointops.py), each with a semantically identical XLA-composition
+fallback.  This is the ONE switch their auto-detection consults.
+
+ACHELOUS_NO_PALLAS=1 disables all three.  The known reason to use it is a
+multi-chip GSPMD mesh: `pallas_call` carries no partitioning rule yet, so
+the SPMD partitioner cannot shard the kernel over the batch axis the way it
+shards the surrounding XLA ops — the XLA fallbacks partition cleanly.
+Single-chip inference/training (this rig, and the per-round hardware
+equality gate tools/tpu_kernel_check.py) keeps them on.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+
+
+def pallas_default() -> bool:
+    """True when Pallas kernels should auto-enable (use_pallas=None)."""
+    if os.environ.get("ACHELOUS_NO_PALLAS"):
+        return False
+    return jax.default_backend() in ("tpu", "axon")

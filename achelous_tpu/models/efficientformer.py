@@ -139,7 +139,8 @@ class Attention4D(nn.Module):
                                                        reference_bias_attention)
         use_pallas = self.use_pallas
         if use_pallas is None:   # auto: measured 19% faster in-context on v5e
-            use_pallas = jax.default_backend() in ("tpu", "axon")
+            from achelous_tpu.core.kernels import pallas_default
+            use_pallas = pallas_default()
         attn_fn = fused_bias_attention if use_pallas else \
             reference_bias_attention
         out = attn_fn(qh, kh, vh, bias.astype(x.dtype), th1.astype(x.dtype),

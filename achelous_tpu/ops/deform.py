@@ -149,7 +149,8 @@ def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
 
     if band is not None and stride == 1 and (ho, wo) == (h, w):
         if use_pallas is None:
-            use_pallas = jax.default_backend() not in ("cpu", "gpu")
+            from achelous_tpu.core.kernels import pallas_default
+            use_pallas = pallas_default()
         wmat = weight.reshape(k * c, cout)
         if use_pallas:
             # channels-first kernel output, projected BEFORE the NHWC

@@ -41,7 +41,8 @@ def farthest_point_sample(xyz: jnp.ndarray, npoint: int,
     tests/test_pallas_pointops.py).  use_pallas=None auto-selects by
     backend."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        from achelous_tpu.core.kernels import pallas_default
+        use_pallas = pallas_default()
     if use_pallas:
         from achelous_tpu.ops.pallas_pointops import \
             pallas_farthest_point_sample

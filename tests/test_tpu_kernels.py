@@ -38,3 +38,15 @@ def test_pallas_kernels_match_xla_on_tpu():
     result = json.loads(out.stdout.strip().splitlines()[-1])
     assert result["backend"] != "cpu", "subprocess fell back to CPU"
     assert result["ok"], result
+
+
+def test_pallas_kill_switch(monkeypatch):
+    """ACHELOUS_NO_PALLAS=1 must turn off every kernel's auto-enable — the
+    escape hatch for multi-chip GSPMD meshes (core/kernels.py)."""
+    from achelous_tpu.core import kernels
+    monkeypatch.setenv("ACHELOUS_NO_PALLAS", "1")
+    assert kernels.pallas_default() is False
+    monkeypatch.delenv("ACHELOUS_NO_PALLAS")
+    import jax
+    assert kernels.pallas_default() == (
+        jax.default_backend() in ("tpu", "axon"))
