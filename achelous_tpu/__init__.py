@@ -18,8 +18,16 @@ import jax as _jax
 # flags and can SIGILL when reloaded on a different host, and virtual-device
 # CPU runs (xla_force_host_platform_device_count) gain nothing.  CPU users
 # who want it (e.g. tests/conftest.py) opt in explicitly.
-_platforms = _os.environ.get("JAX_PLATFORMS", "").lower()
-_is_cpu = ("cpu" in _platforms or "xla_force_host_platform_device_count"
+# jax.config.jax_platforms defaults from the JAX_PLATFORMS env var but also
+# reflects an in-script jax.config.update("jax_platforms", "cpu") — the
+# documented CPU recipe on this rig, where sitecustomize latches the env var
+# and only the config override can select CPU.
+_platforms = ((_jax.config.jax_platforms
+               or _os.environ.get("JAX_PLATFORMS", "")) or "").lower()
+# Only the PRIMARY platform counts: the default here is "axon,cpu" (cpu as
+# fallback), which is a TPU process.
+_is_cpu = (_platforms.split(",")[0].strip() == "cpu"
+           or "xla_force_host_platform_device_count"
            in _os.environ.get("XLA_FLAGS", ""))
 if (not _os.environ.get("ACHELOUS_NO_COMPILE_CACHE") and not _is_cpu
         and _jax.config.jax_compilation_cache_dir is None):

@@ -64,13 +64,21 @@ def fps(fn: Callable, *args, iters: int = 100, warmup: int = 5,
 
 
 def _tiny_scalar(tree: Any) -> jnp.ndarray:
-    """One fp32 scalar depending on every leaf — the minimal fetch that
-    forces the whole program to execute."""
+    """One fp32 scalar depending on EVERY ELEMENT of every leaf.
+
+    A full reduction per leaf, not a first-element slice: XLA sinks slices
+    through elementwise/broadcast/reshape chains, so a carry that depends
+    only on ``ravel(leaf)[:1]`` lets the compiler prune the sliceable tail
+    of the timed program (upsample decoders, sigmoid/score chains) that the
+    separately-jitted FLOPs program still counts — inflating implied MFU.
+    Full sums keep every output element live at op granularity; the added
+    reductions are HBM-bound reads of tensors the program already
+    materialized (≤ a few MB, ~µs) and bias the timing conservatively."""
     s = jnp.float32(0.0)
     for leaf in jax.tree_util.tree_leaves(tree):
         if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.bool_):
             leaf = leaf.astype(jnp.float32)
-        s = s + jnp.sum(jnp.ravel(leaf)[:1].astype(jnp.float32))
+        s = s + jnp.sum(leaf.astype(jnp.float32))
     return s
 
 
