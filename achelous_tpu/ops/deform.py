@@ -72,9 +72,14 @@ def banded_deform_samples(x: jnp.ndarray, offset: jnp.ndarray,
 
     Instead of gathering 4 bilinear corners per tap (XLA's TPU gather is
     priced per ROW, so B*H*W gather rows per layer dominate RCNet),
-    every tap's sample is accumulated from (2*band+2)^2 STATIC shifts of
+    every tap's sample is accumulated from (2*band+1)^2 STATIC shifts of
     the zero-padded input weighted by bilinear hat functions
-    relu(1 - |offset - d|): pure elementwise VPU work, no gather (true
+    relu(1 - |offset - d|).  The window is d in [-band, band]: with
+    offsets clipped to |o| <= band, the hat weight at d = band+1 is
+    1 - |o - band - 1| <= 0 for EVERY o (exactly 0 at o = band, and float
+    rounding of 1+eps never lands below 1), so the naive bound's extra
+    row/column is identically zero and is dropped.  Pure elementwise VPU
+    work, no gather (true
     fetch-forced device timing 2026-08-17: RCNet-S0 bs=32 320^2 is 95 ms
     banded vs several-x slower exact; see ops/pallas_deform.py for the
     tile-resident kernel that removes this path's HBM-traffic bound).
@@ -93,7 +98,7 @@ def banded_deform_samples(x: jnp.ndarray, offset: jnp.ndarray,
     b, h, w, c = x.shape
     k = kh * kw
     r = int(band)
-    ndy = 2 * r + 2
+    ndy = 2 * r + 1
     off = offset.reshape(b, h, w, k, 2)
     oy = jnp.clip(off[..., 0], -r, r).transpose(0, 3, 1, 2)   # [B,K,H,W]
     ox = jnp.clip(off[..., 1], -r, r).transpose(0, 3, 1, 2)
@@ -110,7 +115,7 @@ def banded_deform_samples(x: jnp.ndarray, offset: jnp.ndarray,
         oxk = jax.lax.dynamic_index_in_dim(ox, ki, 1, keepdims=False)
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(oyk - dy.astype(oyk.dtype)))
         term = jnp.zeros((b, c, h, w), x.dtype)
-        for dx in range(-r, r + 2):                            # unrolled
+        for dx in range(-r, r + 1):                            # unrolled
             wx = jnp.maximum(0.0, 1.0 - jnp.abs(oxk - dx))
             sh = jax.lax.dynamic_slice(
                 xp, (0, 0, pad + tapy + dy, pad + tapx + dx), (b, c, h, w))

@@ -8,17 +8,20 @@ formulation re-reads the padded image from HBM for every (tap, dy) step
 RCNet-S0 at 95 ms/batch at bs=32), while this kernel keeps each batch
 element's image on-chip and only streams offsets/mask in and samples out.
 
-Adaptive banding: the dense shift-window sum costs 9*(2r+2)^2 VPU passes
+Adaptive banding: the dense shift-window sum costs 9*(2r+1)^2 VPU passes
 per pixel, but the bilinear hat weights relu(1-|o-d|) are zero outside a
 2-cell support, so an image whose offsets all satisfy |o| <= r_eff can be
-computed EXACTLY (zero terms are exact fp no-ops) with the r_eff window.
-The kernel branches per batch element on max|offset|:
+computed EXACTLY (zero terms are exact fp no-ops) with the r_eff window
+d in [-r_eff, r_eff] — the naive bound's d = r_eff+1 row/column has
+weight 1-|o-r_eff-1| <= 0 for every clipped o (exactly 0 at o = r_eff;
+float rounding of 1+eps never lands below 1) and is dropped.  The kernel
+branches per batch element on max|offset|:
 
   tier 0  all offsets zero   -> 9 masked shifted copies (the reference's
                                  zero-init regime, dcn.py:29-40)
-  tier 1  |o| <= 1           -> 4^2-window dense sum
-  tier 2  |o| <= 2           -> 6^2-window dense sum
-  tier 3  otherwise          -> full (2*band+2)^2 window
+  tier 1  |o| <= 1           -> 3^2-window dense sum
+  tier 2  |o| <= 2           -> 5^2-window dense sum
+  tier 3  otherwise          -> full (2*band+1)^2 window
 
 Layout: channels-first inside the kernel (C is as small as 3 in RCNet —
 NHWC would occupy 3/128 lanes; [*, H, W] puts W on the lane axis).  The
@@ -99,9 +102,9 @@ def _deform_kernel(x_ref, off_ref, mask_ref, out_ref, acc_ref, *,
             oy = jnp.clip(off[2 * ki], -band, band)
             ox = jnp.clip(off[2 * ki + 1], -band, band)
             acc_ref[:] = jnp.zeros((c, th, w), jnp.float32)
-            for dy in range(-r_eff, r_eff + 2):
+            for dy in range(-r_eff, r_eff + 1):
                 wy = jnp.maximum(0.0, 1.0 - jnp.abs(oy - dy))
-                for dx in range(-r_eff, r_eff + 2):
+                for dx in range(-r_eff, r_eff + 1):
                     wx = jnp.maximum(0.0, 1.0 - jnp.abs(ox - dx))
                     acc_ref[:] = acc_ref[:] + (wy * wx)[None] * xs(
                         ty, tx, dy, dx)
