@@ -124,3 +124,22 @@ def test_rcnet_banded_matches_exact():
     for ga, gb in zip(a, b):
         np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
                                    rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("mag", [1.0, 2.0, float(BAND)])
+def test_banded_exact_at_tier_boundary_offsets(mag):
+    """Offsets drawn from exactly {0, +-mag} (plus near-boundary fractions):
+    the hat weight at the dropped window edge d = r+1 is identically zero at
+    |o| = r, so the (2r+1)^2 window must still equal the exact gather."""
+    rng = np.random.RandomState(int(mag * 10))
+    x, _, mask, wgt, bias = _case(rng)
+    b, h, w, _ = x.shape
+    choices = np.array([0.0, mag, -mag, mag - 1e-3, -(mag - 1e-3)],
+                       dtype=np.float32)
+    off = choices[rng.randint(0, len(choices), size=(b, h, w, 18))]
+    exact = deform_conv2d(*map(jnp.asarray, (x, off, mask, wgt, bias)),
+                          stride=1, padding=1, band=None)
+    banded = deform_conv2d(*map(jnp.asarray, (x, off, mask, wgt, bias)),
+                           stride=1, padding=1, band=BAND)
+    np.testing.assert_allclose(np.asarray(banded), np.asarray(exact),
+                               rtol=1e-5, atol=1e-5)

@@ -67,3 +67,19 @@ def test_pallas_gradients_match_xla():
     for a, b, name in zip(g1, g2, "x offset mask".split()):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-5, atol=2e-5, err_msg=name)
+
+
+@pytest.mark.parametrize("mag", [1.0, 2.0, float(BAND)])
+def test_pallas_tier_boundary_offsets(mag):
+    """max|offset| exactly AT a tier edge (1 / 2 / band): the tier condition
+    is inclusive (mo <= r_eff) and the dropped d = r_eff+1 window edge has
+    weight exactly zero there — kernel must equal the XLA banded path."""
+    rng = np.random.RandomState(int(mag))
+    x, _, mask = _case(rng)
+    b, h, w, _ = x.shape
+    choices = np.array([0.0, mag, -mag], dtype=np.float32)
+    off = jnp.asarray(choices[rng.randint(0, 3, size=(b, h, w, 18))])
+    want = banded_deform_samples(x, off, mask, BAND, 3, 3)
+    got = pallas_deform_samples(x, off, mask, BAND, 3, 3, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
