@@ -43,7 +43,16 @@ V5E_BF16_PEAK = 197e12
 def _measure(step, carry, flops_per_iter, n1, n2, repeats=3):
     from achelous_tpu.utils.profiling import device_time_per_iter
     t = device_time_per_iter(step, carry, n1=n1, n2=n2, repeats=repeats)
+    # Linearity check: a valid slope must be the same between (n1, n2) and
+    # (n2, 2*n2 - n1) — if the second segment disagrees, the "slope" is an
+    # artifact (e.g. the fetch not actually forcing loop completion), not
+    # device time.  This is the internal-consistency probe for the
+    # 1.06 ms-vs-20.7 ms full-fwd/RCNet contradiction in the first MFU run.
+    t2 = device_time_per_iter(step, carry, n1=n2, n2=2 * n2 - n1,
+                              repeats=repeats)
     return {"s_per_iter": round(t, 8),
+            "s_per_iter_seg2": round(t2, 8),
+            "linearity": round(t2 / t, 3) if t > 0 else None,
             "flops": flops_per_iter,
             "tflops": round(flops_per_iter / t / 1e12, 2),
             "frac_peak": round(flops_per_iter / t / V5E_BF16_PEAK, 4)}
@@ -116,6 +125,14 @@ def main(argv=None):
     fl = flops_of(fwd, img, rad, pc)
     out["cases"]["model_fwd_bs32"] = _measure(dep_step(fwd), (img, rad, pc),
                                               fl, n1=10, n2=50)
+    # bs=1 for the monotonicity invariant: a bs=32 batch can never take
+    # LESS device time than a bs=1 batch of the same program family (the
+    # first MFU run claimed 1.06 ms at bs=32 vs 3.6 ms at bs=1 — the
+    # violation that exposed the artifact).
+    i1, r1_, p1 = img[:1], rad[:1], pc[:1]
+    fl1 = flops_of(fwd, i1, r1_, p1)
+    out["cases"]["model_fwd_bs1"] = _measure(dep_step(fwd), (i1, r1_, p1),
+                                             fl1, n1=50, n2=250)
 
     line = json.dumps(out)
     print(line)
