@@ -65,12 +65,30 @@ def main():
     fps = 1.0 / dt
     print(json.dumps({"s_per_frame": dt}), file=sys.stderr)
 
+    def fwd_step(carry):
+        """Reference FPS convention: model forward ONLY — the reference's
+        timed loop (nets/Achelous.py:111-116) runs `model(...)` with no
+        decode, no NMS, and no device sync, so the A4000 baseline excludes
+        postprocess.  The headline above keeps the full pipeline (strictly
+        more work); this companion number is the apples-to-apples one."""
+        img, rad, p = carry
+        out = model.apply(variables, img, rad, p)
+        s = _tiny_scalar(out) * jnp.float32(1e-12)
+        return (img + s.astype(img.dtype), rad + s.astype(rad.dtype),
+                p + s.astype(p.dtype))
+
+    dt_fwd = device_time_per_iter(fwd_step, (image, radar, pc), n1=100,
+                                  n2=500, repeats=3)
+    fwd_fps = 1.0 / dt_fwd
+
     print(json.dumps({
         "metric": "EN-GDF-PN-S0 320x320 5-task inference "
                   "(fwd+decode+NMS, bs=1, bf16, fetch-forced device time)",
         "value": round(fps, 1),
         "unit": "fps/chip",
         "vs_baseline": round(fps / BASELINE_FPS_A4000, 2),
+        "fwd_only_fps": round(fwd_fps, 1),
+        "fwd_only_vs_baseline": round(fwd_fps / BASELINE_FPS_A4000, 2),
     }))
 
 
