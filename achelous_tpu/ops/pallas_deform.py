@@ -96,18 +96,25 @@ def _deform_kernel(x_ref, off_ref, mask_ref, out_ref, acc_ref, *,
         # accumulate in a VMEM scratch ref: an SSA value chain of 900
         # unrolled adds makes Mosaic's stack allocator keep every term
         # alive (34 MB scoped-vmem OOM at 320^2); in-place ref updates
-        # reuse one buffer.
+        # reuse one buffer.  Within one dy row the (2r+1)-term SSA sum is
+        # safe and halves the scratch read/write traffic; the column hats
+        # wx depend only on (tap, dx) and are hoisted out of the dy loop.
         for ki in range(k):
             ty, tx = ki // kw - padding, ki % kw - padding
             oy = jnp.clip(off[2 * ki], -band, band)
             ox = jnp.clip(off[2 * ki + 1], -band, band)
-            acc_ref[:] = jnp.zeros((c, th, w), jnp.float32)
+            wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(ox - dx))
+                   for dx in range(-r_eff, r_eff + 1)]
             for dy in range(-r_eff, r_eff + 1):
                 wy = jnp.maximum(0.0, 1.0 - jnp.abs(oy - dy))
-                for dx in range(-r_eff, r_eff + 1):
-                    wx = jnp.maximum(0.0, 1.0 - jnp.abs(ox - dx))
-                    acc_ref[:] = acc_ref[:] + (wy * wx)[None] * xs(
-                        ty, tx, dy, dx)
+                row = None
+                for j, dx in enumerate(range(-r_eff, r_eff + 1)):
+                    term = (wy * wxs[j])[None] * xs(ty, tx, dy, dx)
+                    row = term if row is None else row + term
+                if dy == -r_eff:
+                    acc_ref[:] = row
+                else:
+                    acc_ref[:] = acc_ref[:] + row
             out_ref[0, ki * c:(ki + 1) * c] = (
                 acc_ref[:] * mask[ki][None]).astype(out_ref.dtype)
 
