@@ -7,9 +7,11 @@ kernel per batch element (N <= ~400 tokens, everything fits in VMEM), instead
 of XLA's chain of 6 HBM-roundtripping ops.
 
 Measured on one v5e at the model's shapes (bs=32, h=8, N=100, dk=32, dv=128):
-Pallas 0.51 ms vs XLA 0.48 ms — XLA's fusion is already at parity here, so
-the model keeps the XLA composition by default and exposes this kernel via
-`EfficientFormerV2(use_pallas_attention=True)`.  Numerics match XLA to within
+standalone the kernel is at parity with XLA's fusion (0.51 vs 0.48 ms), but
+IN CONTEXT (inside the full EfficientFormerV2 stage, where XLA's fusion
+choices differ) it measured 19% faster, so it auto-enables on TPU backends
+(models/efficientformer.py use_pallas=None -> core/kernels.pallas_default;
+ACHELOUS_NO_PALLAS=1 disables).  Numerics match XLA to within
 bf16-matmul noise (both are ~2e-2 from an fp32-highest reference); the
 interpret-mode test asserts exact agreement on CPU.
 """
