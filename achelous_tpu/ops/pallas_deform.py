@@ -36,6 +36,7 @@ identical) XLA banded path, so training works unchanged.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -44,17 +45,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _row_tile(h: int, w: int) -> int:
-    """Largest 16-aligned divisor of h keeping the tile around <=8k px.
+    """Largest 16-aligned divisor of h keeping the tile around <=cap px.
 
     Multi-tile starts i*th must be provably aligned to the sublane tile
     for Mosaic's dynamic loads — 16 rows for bf16 (tile (16, 128)), which
     also covers f32's 8; a single whole-image tile always starts at 0.
-    The pixel cap bounds Mosaic's per-kernel stack: the ~1400 unrolled
-    hat/FMA ops each hold a [th, w] f32 temporary, and the stack
-    allocator does not fully reuse them (measured 108 MB scoped vmem at
-    [80, 160] tiles, well under the limit at half that), while
-    whole-image 320^2 blocks also took >35 min of codegen."""
-    target = max(16, 8192 // max(w, 1))
+    The pixel cap bounds Mosaic's per-kernel stack: unrolled hat/FMA ops
+    hold [th, w] f32 temporaries the stack allocator does not fully reuse
+    (measured 108 MB scoped vmem at [80, 160] tiles with the original
+    kernel body), while whole-image 320^2 blocks also took >35 min of
+    codegen.  The default 8k-px cap was sized for that original body; the
+    current body (row-wise SSA, hoisted hats, (2r+1)^2 windows) holds
+    fewer live temporaries, and a larger cap cuts the per-grid-cell
+    overhead (320^2 at 16-row tiles = 640 grid cells/batch) —
+    ACHELOUS_DEFORM_TILE_PX overrides for measurement
+    (tools/deform_tile_sweep.py)."""
+    cap = int(os.environ.get("ACHELOUS_DEFORM_TILE_PX", "8192"))
+    target = max(16, cap // max(w, 1))
     if h <= target:
         return h
     best = h
