@@ -88,9 +88,13 @@ def banded_deform_samples(x: jnp.ndarray, offset: jnp.ndarray,
     initialization (dcn.py:29-40) and for trained DCN offsets; the clip is
     the one documented semantic deviation (ARCHITECTURE.md).
 
-    The (tap, dy) loop is a lax.scan (reverse-differentiable, unlike
-    fori_loop) over a channels-first layout — with NHWC and C as small as 3
-    the vregs would run 3/128 lanes occupied.
+    The tap loop is a lax.scan (reverse-differentiable, unlike fori_loop)
+    over a channels-first layout — with NHWC and C as small as 3 the vregs
+    would run 3/128 lanes occupied.  The (dy, dx) window is unrolled inside
+    the scan body with the column hats wx hoisted out of the dy loop (they
+    depend only on (tap, dx)), the same structure — and the same summation
+    association — as the Pallas kernel (ops/pallas_deform.py), whose
+    backward is this function's VJP.
 
     Args: x [B,H,W,C], offset [B,H,W,2K], mask [B,H,W,K]; stride-1 only.
     Returns samples [B, H, W, K*C] (tap-major), modulated by `mask`.
@@ -98,7 +102,6 @@ def banded_deform_samples(x: jnp.ndarray, offset: jnp.ndarray,
     b, h, w, c = x.shape
     k = kh * kw
     r = int(band)
-    ndy = 2 * r + 1
     off = offset.reshape(b, h, w, k, 2)
     oy = jnp.clip(off[..., 0], -r, r).transpose(0, 3, 1, 2)   # [B,K,H,W]
     ox = jnp.clip(off[..., 1], -r, r).transpose(0, 3, 1, 2)
@@ -106,27 +109,28 @@ def banded_deform_samples(x: jnp.ndarray, offset: jnp.ndarray,
     xcf = x.transpose(0, 3, 1, 2)                             # [B,C,H,W]
     xp = jnp.pad(xcf, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
 
-    def body(acc, i):
-        ki = i // ndy
-        dy = i % ndy - r
+    def body(_, ki):
         tapy = ki // kw - padding
         tapx = ki % kw - padding
         oyk = jax.lax.dynamic_index_in_dim(oy, ki, 1, keepdims=False)
         oxk = jax.lax.dynamic_index_in_dim(ox, ki, 1, keepdims=False)
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(oyk - dy.astype(oyk.dtype)))
-        term = jnp.zeros((b, c, h, w), x.dtype)
-        for dx in range(-r, r + 1):                            # unrolled
-            wx = jnp.maximum(0.0, 1.0 - jnp.abs(oxk - dx))
-            sh = jax.lax.dynamic_slice(
-                xp, (0, 0, pad + tapy + dy, pad + tapx + dx), (b, c, h, w))
-            term = term + (wy * wx)[:, None] * sh
-        acc = jax.lax.dynamic_update_index_in_dim(
-            acc, jax.lax.dynamic_index_in_dim(acc, ki, 1, False) + term,
-            ki, 1)
-        return acc, None
+        wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(oxk - dx))
+               for dx in range(-r, r + 1)]
+        term = None
+        for dy in range(-r, r + 1):                            # unrolled
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(oyk - dy))
+            row = None
+            for j, dx in enumerate(range(-r, r + 1)):
+                sh = jax.lax.dynamic_slice(
+                    xp, (0, 0, pad + tapy + dy, pad + tapx + dx),
+                    (b, c, h, w))
+                t = (wy * wxs[j])[:, None] * sh
+                row = t if row is None else row + t
+            term = row if term is None else term + row
+        return None, term
 
-    acc0 = jnp.zeros((b, k, c, h, w), x.dtype)
-    acc, _ = jax.lax.scan(body, acc0, jnp.arange(k * ndy, dtype=jnp.int32))
+    _, acc = jax.lax.scan(body, None, jnp.arange(k, dtype=jnp.int32))
+    acc = jnp.moveaxis(acc, 0, 1)                              # [B,K,C,H,W]
     acc = acc * mask.transpose(0, 3, 1, 2)[:, :, None]
     return acc.transpose(0, 3, 4, 1, 2).reshape(b, h, w, k * c)
 
