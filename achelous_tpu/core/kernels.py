@@ -14,13 +14,32 @@ equality gate tools/tpu_kernel_check.py) keeps them on.
 """
 from __future__ import annotations
 
+import contextlib
 import os
 
 import jax
 
+_FORCE_OFF = 0      # depth counter for nested no_pallas() scopes
+
 
 def pallas_default() -> bool:
     """True when Pallas kernels should auto-enable (use_pallas=None)."""
-    if os.environ.get("ACHELOUS_NO_PALLAS"):
+    if _FORCE_OFF or os.environ.get("ACHELOUS_NO_PALLAS"):
         return False
     return jax.default_backend() in ("tpu", "axon")
+
+
+@contextlib.contextmanager
+def no_pallas():
+    """Force the XLA fallback paths for code traced inside this scope.
+
+    pallas_default() is consulted at TRACE time (python level), so wrapping
+    a model apply in this context is enough — used by
+    AchelousPredictor.sharded_infer, whose GSPMD-partitioned program cannot
+    shard a pallas_call over the batch axis (see module docstring)."""
+    global _FORCE_OFF
+    _FORCE_OFF += 1
+    try:
+        yield
+    finally:
+        _FORCE_OFF -= 1

@@ -104,13 +104,25 @@ class AchelousPredictor:
         (eval-mode BN uses running stats; NMS is per-image), so outputs are
         identical to the single-device program (pinned in
         tests/test_host_sharding.py).
+
+        The Pallas kernels are forced to their XLA fallbacks inside this
+        program: a pallas_call carries no partitioning rule, so the SPMD
+        partitioner cannot shard it over the batch axis (core/kernels.py)
+        — callers need not set ACHELOUS_NO_PALLAS themselves.
         """
+        from achelous_tpu.core.kernels import no_pallas
         from achelous_tpu.parallel.mesh import (batch_sharding, make_mesh,
                                                 replicated)
         if mesh is None:
             mesh = make_mesh()
         rep, sh = replicated(mesh), batch_sharding(mesh)
-        return jax.jit(self._infer_fn, in_shardings=(rep, sh, sh, sh),
+        infer_fn = self._infer_fn
+
+        def infer_xla_only(variables, image, radar, pc):
+            with no_pallas():       # pallas_default() is read at trace time
+                return infer_fn(variables, image, radar, pc)
+
+        return jax.jit(infer_xla_only, in_shardings=(rep, sh, sh, sh),
                        out_shardings=sh)
 
     # -- input preparation ---------------------------------------------------
