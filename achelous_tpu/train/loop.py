@@ -299,8 +299,22 @@ def fit(model, cfg: AchelousConfig, tcfg: TrainConfig,
             sampler = DistributedSampler(len(train_ds), seed=seed)
     init_lr, min_lr = scale_lr(tcfg.lr_init, tcfg.batch_size, tcfg.optimizer)
     lr_fn = get_lr_scheduler(tcfg.lr_decay, init_lr, min_lr, epochs)
-    train_step = jax.jit(make_train_step(model, cfg, tcfg))
-    eval_step = jax.jit(make_eval_step(model, cfg, tcfg))
+    step_fn = make_train_step(model, cfg, tcfg)
+    ev_fn = make_eval_step(model, cfg, tcfg)
+    if mesh is not None and mesh.size > 1:
+        # a pallas_call has no partitioning rule, so the GSPMD-partitioned
+        # step must trace the XLA fallback kernels (same as sharded_infer)
+        from achelous_tpu.core.kernels import no_pallas
+
+        def _xla_only(fn):
+            def wrapped(*a, **kw):
+                with no_pallas():
+                    return fn(*a, **kw)
+            return wrapped
+
+        step_fn, ev_fn = _xla_only(step_fn), _xla_only(ev_fn)
+    train_step = jax.jit(step_fn)
+    eval_step = jax.jit(ev_fn)
     history = LossHistory(log_dir)
     ckpt = CheckpointManager(os.path.join(log_dir, "ckpt"))
     rng = np.random.RandomState(seed)
