@@ -5,12 +5,15 @@ models/efficientformer.py; banded deformable sampling, ops/deform.py; FPS,
 ops/pointops.py), each with a semantically identical XLA-composition
 fallback.  This is the ONE switch their auto-detection consults.
 
-ACHELOUS_NO_PALLAS=1 disables all three.  The known reason to use it is a
-multi-chip GSPMD mesh: `pallas_call` carries no partitioning rule yet, so
-the SPMD partitioner cannot shard the kernel over the batch axis the way it
-shards the surrounding XLA ops — the XLA fallbacks partition cleanly.
-Single-chip inference/training (this rig, and the per-round hardware
-equality gate tools/tpu_kernel_check.py) keeps them on.
+ACHELOUS_NO_PALLAS=1 disables all three.  The known reason is a multi-chip
+GSPMD mesh: `pallas_call` carries no partitioning rule yet, so the SPMD
+partitioner cannot shard the kernel over the batch axis the way it shards
+the surrounding XLA ops — the XLA fallbacks partition cleanly.  The mesh
+entry points handle this themselves via the `no_pallas()` scope below
+(AchelousPredictor.sharded_infer, train/loop.fit with mesh.size > 1), so
+the env var remains only as a manual kill switch.  Single-chip
+inference/training (this rig, and the per-round hardware equality gate
+tools/tpu_kernel_check.py) keeps them on.
 """
 from __future__ import annotations
 
