@@ -1,0 +1,52 @@
+#!/bin/bash
+# Resilient TPU artifact chain for the axon tunnel's multi-hour outages
+# (.claude/skills/verify/SKILL.md "OUTAGES"): poll until the backend
+# answers, then run the hardware jobs SEQUENTIALLY — never two TPU jobs at
+# once on this tunnel — retrying each once after a fresh availability
+# check.  Detach with:  setsid tools/tpu_job_chain.sh &
+#
+# A failed backend init is cached for the life of a process, so both the
+# probe and every job run in fresh interpreters.
+cd "$(dirname "$0")/.." || exit 1
+export PYTHONPATH=/root/.axon_site
+LOG=${TPU_CHAIN_LOG:-/tmp/tpu_job_chain.log}
+
+wait_tpu() {
+  while true; do
+    echo "=== [$(date +%H:%M:%S)] probing TPU..." >> "$LOG"
+    if timeout 240 python -c "import jax; print(jax.devices())" >> "$LOG" 2>&1; then
+      echo "=== [$(date +%H:%M:%S)] TPU up" >> "$LOG"
+      return 0
+    fi
+    sleep 180
+  done
+}
+
+run_job() {
+  local name="$1"; shift
+  local tmo="$1"; shift
+  for attempt in 1 2; do
+    wait_tpu
+    echo "=== [$(date +%H:%M:%S)] $name (attempt $attempt) ===" >> "$LOG"
+    if timeout "$tmo" "$@" >> "$LOG" 2>&1; then
+      echo "=== [$(date +%H:%M:%S)] $name OK" >> "$LOG"
+      return 0
+    fi
+    echo "=== [$(date +%H:%M:%S)] $name FAILED (attempt $attempt)" >> "$LOG"
+    sleep 60
+  done
+  return 1
+}
+
+# The round-3 artifact set, in value order (short jobs first so a brief
+# window of availability still lands something):
+run_job "kernel equality gate" 3600  python tools/tpu_kernel_check.py --out TPU_KERNELS.json
+run_job "MFU probe"            7200  python tools/mfu_probe.py --out MFU.json
+run_job "headline bench"       3600  python bench.py
+run_job "bench sweep"          14400 python tools/bench_sweep.py
+run_job "latency ablation"     7200  python tools/latency_ablation.py --out LATENCY_ABLATION.json
+run_job "trace capture"        3600  python tools/capture_trace.py --bs 32 --out traces
+run_job "MFU crosscheck"       7200  python tools/mfu_crosscheck.py --out MFU_CROSSCHECK.json
+run_job "deform tile sweep"    14400 python tools/deform_tile_sweep.py --out DEFORM_TILE_SWEEP.json
+timeout 1800 python tools/trace_summary.py traces --topk 40 > TRACE_SUMMARY.txt 2>> "$LOG"
+echo "=== [$(date +%H:%M:%S)] chain done ===" >> "$LOG"
