@@ -162,16 +162,20 @@ def main(argv=None):
            "n_devices": jax.device_count(),
            "resolution": 320, "dtype": "bfloat16",
            "results": []}
-    for name, ref_fps in todo:
+    # Write the artifact after EVERY config: remote compiles take minutes
+    # per config and the axon backend can drop mid-sweep (multi-hour
+    # outages, verify skill "OUTAGES"), so an end-only write risks losing
+    # hours of measurement.  `partial` marks an in-flight document.
+    for i, (name, ref_fps) in enumerate(todo):
         print(f"== {name} ==", flush=True)
         res = bench_config(name, ref_fps, args.iters,
                            with_train=not args.skip_train)
         print(json.dumps(res), flush=True)
         doc["results"].append(res)
-
-    with open(args.out, "w") as f:
-        json.dump(doc, f, indent=2)
-        f.write("\n")
+        doc["partial"] = i + 1 < len(todo)
+        with open(args.out, "w") as f:
+            json.dump(doc, f, indent=2)
+            f.write("\n")
     print(f"wrote {args.out}")
 
 
