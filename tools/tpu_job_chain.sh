@@ -38,12 +38,18 @@ run_job() {
   return 1
 }
 
-# The round-3 artifact set, in value order (short jobs first so a brief
-# window of availability still lands something):
-run_job "kernel equality gate" 3600  python tools/tpu_kernel_check.py --out TPU_KERNELS.json
+# The artifact set, in value order (short jobs first so a brief window of
+# availability still lands something).  2026-08-18 window already landed:
+# TPU_KERNELS.json (ok=true), bench.py (277.2 fps), and the flagship
+# BENCH_SWEEP config (bs=32 743 fps, train bs=8) — the sweep's remaining 3
+# configs are now the top item (bench_sweep.py writes incrementally, so a
+# partial window still lands configs).
+run_job "bench sweep (3 remaining configs)" 14400 \
+    python tools/bench_sweep.py --configs EN-GDF-PN2-S0,MV-GDF-PN-S1,EN-CDF-PN2-S2 \
+        --out BENCH_SWEEP_REST.json
 run_job "MFU probe"            7200  python tools/mfu_probe.py --out MFU.json
+run_job "kernel equality gate" 3600  python tools/tpu_kernel_check.py --out TPU_KERNELS.json
 run_job "headline bench"       3600  python bench.py
-run_job "bench sweep"          14400 python tools/bench_sweep.py
 run_job "latency ablation"     7200  python tools/latency_ablation.py --out LATENCY_ABLATION.json
 run_job "trace capture"        3600  python tools/capture_trace.py --bs 32 --out traces
 run_job "MFU crosscheck"       7200  python tools/mfu_crosscheck.py --out MFU_CROSSCHECK.json
