@@ -134,9 +134,12 @@ def bench_config(name: str, ref_fps, iters: int, with_train: bool) -> dict:
                 out["train_samples_per_s"] = round(bs / t, 1)
                 break
             except Exception as e:       # HBM OOM at this batch — halve
-                print(f"train bs={bs} failed "
-                      f"({type(e).__name__}); retrying bs={bs // 2}",
-                      flush=True)
+                # Keep the first lines of the message: the 2026-08-18
+                # window lost the bs=32/16 root cause (helper 500 vs real
+                # OOM) because only the type was printed.
+                msg = " / ".join(str(e).splitlines()[:3])[:500]
+                print(f"train bs={bs} failed ({type(e).__name__}: {msg}); "
+                      f"retrying bs={bs // 2}", flush=True)
                 bs //= 2
     return out
 
