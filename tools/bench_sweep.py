@@ -165,20 +165,51 @@ def main(argv=None):
            "n_devices": jax.device_count(),
            "resolution": 320, "dtype": "bfloat16",
            "results": []}
+    # Merge into an existing artifact: partial windows land configs one at
+    # a time across runs (the r3 window only finished the flagship), so a
+    # re-run with --configs <the rest> must upsert rows rather than clobber
+    # the document (ADVICE r3: the chain used to write a side file nothing
+    # merged).
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                prev = json.load(f)
+            doc["results"] = [r for r in prev.get("results", [])
+                              if isinstance(r, dict) and r.get("config")]
+        except (json.JSONDecodeError, OSError):
+            pass
+
+    def upsert(res):
+        for i, r in enumerate(doc["results"]):
+            if r.get("config") == res["config"]:
+                doc["results"][i] = res
+                return
+        doc["results"].append(res)
+
+    def write(in_flight: bool):
+        # `partial` = this run is mid-flight OR the merged doc still lacks
+        # one of the 4 BASELINE configs.  Atomic temp+rename: a SIGTERM
+        # mid-dump must not corrupt the artifact (ADVICE r3).
+        have = {r.get("config") for r in doc["results"]}
+        doc["partial"] = in_flight or not all(
+            c in have for c, _ in DEFAULT_CONFIGS)
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f, indent=2)
+            f.write("\n")
+        os.replace(tmp, args.out)
+
     # Write the artifact after EVERY config: remote compiles take minutes
     # per config and the axon backend can drop mid-sweep (multi-hour
     # outages, verify skill "OUTAGES"), so an end-only write risks losing
-    # hours of measurement.  `partial` marks an in-flight document.
+    # hours of measurement.
     for i, (name, ref_fps) in enumerate(todo):
         print(f"== {name} ==", flush=True)
         res = bench_config(name, ref_fps, args.iters,
                            with_train=not args.skip_train)
         print(json.dumps(res), flush=True)
-        doc["results"].append(res)
-        doc["partial"] = i + 1 < len(todo)
-        with open(args.out, "w") as f:
-            json.dump(doc, f, indent=2)
-            f.write("\n")
+        upsert(res)
+        write(in_flight=i + 1 < len(todo))
     print(f"wrote {args.out}")
 
 

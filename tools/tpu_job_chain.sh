@@ -38,21 +38,22 @@ run_job() {
   return 1
 }
 
-# The artifact set, in value order (short jobs first so a brief window of
-# availability still lands something).  2026-08-18 window already landed:
-# TPU_KERNELS.json (ok=true), bench.py (277.2 fps), and the flagship
-# BENCH_SWEEP config (bs=32 743 fps, train bs=8) — the sweep's remaining 3
-# configs are now the top item (bench_sweep.py writes incrementally, so a
-# partial window still lands configs).
+# Round-4 order (VERDICT r3 "next" items): the deform tile sweep feeds the
+# headline-perf fix (next 1), the 3 remaining sweep configs complete the
+# measurement matrix (next 2; bench_sweep.py now MERGES into
+# BENCH_SWEEP.json, ADVICE r3), then the trace/MFU artifacts (next 4),
+# then re-measure the RCNet ladder post-optimizations, the kernel
+# equality gate, and a fresh headline bench with whatever kernel defaults
+# landed by then.
+run_job "deform tile sweep"    14400 python tools/deform_tile_sweep.py --out DEFORM_TILE_SWEEP.json
 run_job "bench sweep (3 remaining configs)" 14400 \
     python tools/bench_sweep.py --configs EN-GDF-PN2-S0,MV-GDF-PN-S1,EN-CDF-PN2-S2 \
-        --out BENCH_SWEEP_REST.json
+        --out BENCH_SWEEP.json
 run_job "MFU probe"            7200  python tools/mfu_probe.py --out MFU.json
+run_job "trace capture"        3600  python tools/capture_trace.py --bs 32 --out traces
+run_job "latency ablation"     7200  python tools/latency_ablation.py --out LATENCY_ABLATION.json
 run_job "kernel equality gate" 3600  python tools/tpu_kernel_check.py --out TPU_KERNELS.json
 run_job "headline bench"       3600  python bench.py
-run_job "latency ablation"     7200  python tools/latency_ablation.py --out LATENCY_ABLATION.json
-run_job "trace capture"        3600  python tools/capture_trace.py --bs 32 --out traces
 run_job "MFU crosscheck"       7200  python tools/mfu_crosscheck.py --out MFU_CROSSCHECK.json
-run_job "deform tile sweep"    14400 python tools/deform_tile_sweep.py --out DEFORM_TILE_SWEEP.json
 timeout 1800 python tools/trace_summary.py traces --topk 40 > TRACE_SUMMARY.txt 2>> "$LOG"
 echo "=== [$(date +%H:%M:%S)] chain done ===" >> "$LOG"
