@@ -120,15 +120,20 @@ def bench_config(name: str, ref_fps, iters: int, with_train: bool) -> dict:
                          synthetic_batch(cfg, bs, tcfg.max_gt).items()}
                 lr = jnp.float32(1e-3)
 
-                def train_step(state, raw_step=raw_step, batch=batch,
-                               lr=lr):
-                    # the optimizer state carries the iteration-to-
-                    # iteration dependency; batch reuse matches a steady
-                    # dataloader-fed loop
-                    return raw_step(state, batch, lr)[0]
+                # The batch rides in the CARRY, not a closure: closed-over
+                # arrays are embedded in the HLO as literal constants, and
+                # at bs=32 the one-hot seg targets alone are ~130 MB — the
+                # remote-compile helper rejects the request with HTTP 413
+                # (observed 2026-08-18; this was the r3 "bs=32 train does
+                # not compile" mystery, VERDICT r3 next 3).  The optimizer
+                # state carries the iteration-to-iteration dependency;
+                # batch reuse matches a steady dataloader-fed loop.
+                def train_step(carry, raw_step=raw_step, lr=lr):
+                    st, bt = carry
+                    return raw_step(st, bt, lr)[0], bt
 
-                t = device_time_per_iter(train_step, state, n1=3, n2=12,
-                                         repeats=3)
+                t = device_time_per_iter(train_step, (state, batch),
+                                         n1=3, n2=12, repeats=3)
                 out["train_bs"] = bs
                 out["train_steps_per_s"] = round(1.0 / t, 3)
                 out["train_samples_per_s"] = round(bs / t, 1)

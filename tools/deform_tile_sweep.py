@@ -24,10 +24,12 @@ import os
 import subprocess
 import sys
 
+# NOTE: substituted via .replace (not str.format — the child source is full
+# of literal braces that .format would treat as fields)
 _CHILD = r"""
 import json, os, sys
 import jax, jax.numpy as jnp, numpy as np
-sys.path.insert(0, {root!r})
+sys.path.insert(0, __ROOT__)
 from achelous_tpu.models.rcnet import RCNet
 from achelous_tpu.utils.profiling import _tiny_scalar, device_time_per_iter
 import flax
@@ -75,7 +77,7 @@ def main(argv=None):
         env["ACHELOUS_DEFORM_TILE_PX"] = cap
         print(f"=== cap {cap} px ===", flush=True)
         proc = subprocess.run(
-            [sys.executable, "-c", _CHILD.format(root=root)],
+            [sys.executable, "-c", _CHILD.replace("__ROOT__", repr(root))],
             env=env, capture_output=True, text=True, timeout=7200)
         line = [ln for ln in proc.stdout.splitlines()
                 if ln.startswith("CHILD_RESULT ")]

@@ -113,6 +113,23 @@ def main(argv=None):
             out[f"{name}_bs{bs}_ms"] = round(t * 1e3, 4)
             print(f"{name} bs={bs}: {t * 1e3:.3f} ms", flush=True)
 
+    # FPS kernel A/B (ops/pointops.py cites this artifact): Pallas
+    # sequential-loop kernel vs the XLA fori_loop at PointNet++ shapes
+    # (512 points -> 128 centroids, the pn2 config's sampling).
+    from achelous_tpu.ops.pointops import farthest_point_sample
+    for bs in (1, 32):
+        xyz = jnp.asarray(rng.rand(bs, 512, 3), jnp.float32)
+        for tag, use_pallas in (("pallas", True), ("xla", False)):
+            def fps_step(carry, up=use_pallas):
+                (x,) = carry
+                idx = farthest_point_sample(x, 128, use_pallas=up)
+                s = _tiny_scalar(idx) * jnp.float32(1e-12)
+                return (x + s.astype(x.dtype),)
+            t = device_time_per_iter(fps_step, (xyz,), n1=10, n2=50,
+                                     repeats=3)
+            out[f"fps512_128_{tag}_bs{bs}_ms"] = round(t * 1e3, 4)
+            print(f"fps {tag} bs={bs}: {t * 1e3:.3f} ms", flush=True)
+
     line = json.dumps(out)
     print(line)
     if args.out:

@@ -46,9 +46,11 @@ run_job() {
 # equality gate, and a fresh headline bench with whatever kernel defaults
 # landed by then.
 run_job "deform tile sweep"    14400 python tools/deform_tile_sweep.py --out DEFORM_TILE_SWEEP.json
-run_job "bench sweep (3 remaining configs)" 14400 \
-    python tools/bench_sweep.py --configs EN-GDF-PN2-S0,MV-GDF-PN-S1,EN-CDF-PN2-S2 \
-        --out BENCH_SWEEP.json
+# all 4 configs: the flagship's train row re-measures at bs=32 now that the
+# batch rides in the timing carry instead of 250 MB of HLO constants (the
+# remote-compile helper's HTTP 413 length limit was the r3 "OOM")
+run_job "bench sweep (4 configs)" 18000 \
+    python tools/bench_sweep.py --out BENCH_SWEEP.json
 run_job "MFU probe"            7200  python tools/mfu_probe.py --out MFU.json
 run_job "trace capture"        3600  python tools/capture_trace.py --bs 32 --out traces
 run_job "latency ablation"     7200  python tools/latency_ablation.py --out LATENCY_ABLATION.json
