@@ -45,17 +45,23 @@ run_job() {
 # then re-measure the RCNet ladder post-optimizations, the kernel
 # equality gate, and a fresh headline bench with whatever kernel defaults
 # landed by then.
-run_job "deform tile sweep"    14400 python tools/deform_tile_sweep.py --out DEFORM_TILE_SWEEP.json
+# DEFORM_TILE_SWEEP.json landed 2026-08-18 (caps >8192 don't help; see its
+# note) — the bs=1 trace is now the headline-latency diagnostic: at bs=1
+# RCNet is 2.1 ms of the 3.6 ms pipeline and the cost is batch-size-
+# independent, so the trace must say which ops (pallas fixed cost vs the
+# surrounding small convs) hold the time.
+run_job "trace capture bs=1"   3600  python tools/capture_trace.py --bs 1 --iters 100 --out traces_bs1
+timeout 1800 python tools/trace_summary.py traces_bs1 --topk 40 > TRACE_SUMMARY_BS1.txt 2>> "$LOG"
+run_job "trace capture bs=32"  3600  python tools/capture_trace.py --bs 32 --out traces
+timeout 1800 python tools/trace_summary.py traces --topk 40 > TRACE_SUMMARY.txt 2>> "$LOG"
 # all 4 configs: the flagship's train row re-measures at bs=32 now that the
 # batch rides in the timing carry instead of 250 MB of HLO constants (the
 # remote-compile helper's HTTP 413 length limit was the r3 "OOM")
 run_job "bench sweep (4 configs)" 18000 \
     python tools/bench_sweep.py --out BENCH_SWEEP.json
 run_job "MFU probe"            7200  python tools/mfu_probe.py --out MFU.json
-run_job "trace capture"        3600  python tools/capture_trace.py --bs 32 --out traces
 run_job "latency ablation"     7200  python tools/latency_ablation.py --out LATENCY_ABLATION.json
 run_job "kernel equality gate" 3600  python tools/tpu_kernel_check.py --out TPU_KERNELS.json
 run_job "headline bench"       3600  python bench.py
 run_job "MFU crosscheck"       7200  python tools/mfu_crosscheck.py --out MFU_CROSSCHECK.json
-timeout 1800 python tools/trace_summary.py traces --topk 40 > TRACE_SUMMARY.txt 2>> "$LOG"
 echo "=== [$(date +%H:%M:%S)] chain done ===" >> "$LOG"
