@@ -15,6 +15,10 @@ import sys
 import numpy as np
 import pytest
 
+# torch transplant + per-module XLA compiles: the heavyweight tier
+# (run fast tier with -m 'not slow')
+pytestmark = pytest.mark.slow
+
 REF = "/root/reference"
 SHIM = os.path.join(os.path.dirname(__file__), "torch_shims")
 

@@ -22,6 +22,9 @@ import sys
 import numpy as np
 import pytest
 
+# reference-trainer transcription + many train-step compiles: slow tier
+pytestmark = pytest.mark.slow
+
 REF = "/root/reference"
 SHIM = os.path.join(os.path.dirname(__file__), "torch_shims")
 
