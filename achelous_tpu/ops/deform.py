@@ -157,9 +157,10 @@ def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
     _, ho, wo, _ = offset.shape
 
     if band is not None and stride == 1 and (ho, wo) == (h, w):
+        from achelous_tpu.core.kernels import (interpret_default,
+                                               pallas_default, shard_wrap)
         if use_pallas is None:
-            from achelous_tpu.core.kernels import pallas_default
-            use_pallas = pallas_default()
+            use_pallas = pallas_default(batch_size=b)
         wmat = weight.reshape(k * c, cout)
         if use_pallas:
             # channels-first kernel output, projected BEFORE the NHWC
@@ -167,8 +168,16 @@ def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
             # the traffic of the projected [B,Cout,H,W] map
             from achelous_tpu.ops.pallas_deform import (
                 pallas_deform_samples_cf)
-            samples_cf = pallas_deform_samples_cf(x, offset, mask, band,
-                                                  kh, kw, padding)
+            interp = interpret_default()
+
+            def sample_fn(xx, oo, mm):
+                return pallas_deform_samples_cf(xx, oo, mm, band, kh, kw,
+                                                padding, interp)
+
+            # under a pallas_batch_mesh scope, run the single-device kernel
+            # per shard of the batch axis (core/kernels.shard_wrap)
+            samples_cf = shard_wrap(sample_fn, (True, True, True))(
+                x, offset, mask)
             out = jnp.einsum("bihw,io->bhwo", samples_cf, wmat)
         else:
             samples = banded_deform_samples(x, offset, mask, band, kh, kw,

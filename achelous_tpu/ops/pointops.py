@@ -36,17 +36,27 @@ def farthest_point_sample(xyz: jnp.ndarray, npoint: int,
     (deterministic, unlike the CUDA op's random start).
 
     On TPU backends the whole sequential loop runs inside one Pallas kernel
-    (ops/pallas_pointops.py — 3.6x faster at bs=1 where the XLA loop is
-    dispatch-overhead-bound; exact same indices, pinned by
-    tests/test_pallas_pointops.py).  use_pallas=None auto-selects by
-    backend."""
+    (ops/pallas_pointops.py — faster where the npoint-step XLA loop is
+    dispatch/launch-overhead-bound; exact same indices, pinned by
+    tests/test_pallas_pointops.py, and timed per round by
+    tools/latency_ablation.py).  use_pallas=None auto-selects by backend."""
+    from achelous_tpu.core.kernels import (interpret_default, pallas_default,
+                                           shard_wrap)
     if use_pallas is None:
-        from achelous_tpu.core.kernels import pallas_default
-        use_pallas = pallas_default()
+        use_pallas = pallas_default(batch_size=xyz.shape[0])
     if use_pallas:
         from achelous_tpu.ops.pallas_pointops import \
             pallas_farthest_point_sample
-        return pallas_farthest_point_sample(xyz, npoint, valid)
+        interp = interpret_default()
+        if valid is None:
+            fn = shard_wrap(
+                lambda xx: pallas_farthest_point_sample(
+                    xx, npoint, interpret=interp), (True,))
+            return fn(xyz)
+        fn = shard_wrap(
+            lambda xx, vv: pallas_farthest_point_sample(
+                xx, npoint, vv, interpret=interp), (True, True))
+        return fn(xyz, valid)
     b, n, _ = xyz.shape
     big = jnp.asarray(1e10, xyz.dtype)
     dist = jnp.full((b, n), big, xyz.dtype)

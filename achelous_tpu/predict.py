@@ -105,12 +105,16 @@ class AchelousPredictor:
         identical to the single-device program (pinned in
         tests/test_host_sharding.py).
 
-        The Pallas kernels are forced to their XLA fallbacks inside this
-        program: a pallas_call carries no partitioning rule, so the SPMD
-        partitioner cannot shard it over the batch axis (core/kernels.py)
-        — callers need not set ACHELOUS_NO_PALLAS themselves.
+        The Pallas kernels stay live inside this program: a bare
+        pallas_call carries no GSPMD partitioning rule, so the trace runs
+        under a `pallas_batch_mesh` scope and each kernel call site wraps
+        itself in `jax.shard_map` over the mesh's data axis — every chip
+        runs the single-device kernel on its batch slice
+        (core/kernels.shard_wrap; equality vs the single-device program
+        pinned in tests/test_host_sharding.py).  Batches not divisible by
+        the mesh fall back to the XLA kernel compositions automatically.
         """
-        from achelous_tpu.core.kernels import no_pallas
+        from achelous_tpu.core.kernels import pallas_batch_mesh
         from achelous_tpu.parallel.mesh import (batch_sharding, make_mesh,
                                                 replicated)
         if mesh is None:
@@ -118,11 +122,12 @@ class AchelousPredictor:
         rep, sh = replicated(mesh), batch_sharding(mesh)
         infer_fn = self._infer_fn
 
-        def infer_xla_only(variables, image, radar, pc):
-            with no_pallas():       # pallas_default() is read at trace time
+        def infer_sharded(variables, image, radar, pc):
+            # the scope is read at trace time (core/kernels.pallas_default)
+            with pallas_batch_mesh(mesh):
                 return infer_fn(variables, image, radar, pc)
 
-        return jax.jit(infer_xla_only, in_shardings=(rep, sh, sh, sh),
+        return jax.jit(infer_sharded, in_shardings=(rep, sh, sh, sh),
                        out_shardings=sh)
 
     # -- input preparation ---------------------------------------------------
