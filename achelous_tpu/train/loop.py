@@ -48,7 +48,13 @@ class LossHistory:
 
     def plot(self):
         """Loss-curve png (reference utils/callbacks.py:56-83, savgol
-        smoothing replaced by a simple running mean)."""
+        smoothing replaced by a simple running mean), plus the per-epoch
+        metric curves the reference EvalCallbacks plot: epoch_map.png
+        (utils/callbacks.py:279-290) and epoch_miou.png for the three
+        segmentation streams (utils_seg/callbacks.py:234-245,
+        utils_seg_line/, utils_seg_pc/ — one figure here instead of three
+        log dirs).  Metric keys exist only on eval epochs (eval_period), so
+        each series plots the epochs where its key is present."""
         if len(self.records) < 2:
             return
         try:
@@ -57,17 +63,35 @@ class LossHistory:
             import matplotlib.pyplot as plt
         except Exception:
             return
-        epochs = [r["epoch"] for r in self.records]
-        fig, ax = plt.subplots(figsize=(7, 4))
-        for key, color in (("loss", "red"), ("val_loss", "coral")):
-            ys = [r.get(key) for r in self.records]
-            if any(y is not None for y in ys):
-                ax.plot(epochs, ys, color=color, label=key, linewidth=2)
-        ax.set_xlabel("epoch"); ax.set_ylabel("loss")
-        ax.grid(True); ax.legend()
-        fig.savefig(os.path.join(self.log_dir, "epoch_loss.png"),
-                    bbox_inches="tight")
-        plt.close(fig)
+
+        def save_series(fname, ylabel, series):
+            """series: (key, label, color) triples; skips absent keys."""
+            drawn = False
+            fig, ax = plt.subplots(figsize=(7, 4))
+            for key, label, color in series:
+                pts = [(r["epoch"], r[key]) for r in self.records
+                       if r.get(key) is not None]
+                if len(pts) >= 1:
+                    ax.plot(*zip(*pts), color=color, label=label,
+                            linewidth=2, marker="o", markersize=3)
+                    drawn = True
+            if drawn:
+                ax.set_xlabel("epoch"); ax.set_ylabel(ylabel)
+                ax.grid(True); ax.legend()
+                fig.savefig(os.path.join(self.log_dir, fname),
+                            bbox_inches="tight")
+            plt.close(fig)
+
+        save_series("epoch_loss.png", "loss",
+                    [("loss", "loss", "red"),
+                     ("val_loss", "val_loss", "coral")])
+        save_series("epoch_map.png", "mAP",
+                    [("mAP50", "mAP50", "red"),
+                     ("mAP50-95", "mAP50-95", "coral")])
+        save_series("epoch_miou.png", "mIoU",
+                    [("miou_sem", "semantic", "red"),
+                     ("miou_wl", "waterline", "royalblue"),
+                     ("miou_pc", "point cloud", "seagreen")])
 
 
 def batches_from(dataset: WaterScenesDataset, cfg: AchelousConfig,
@@ -302,17 +326,19 @@ def fit(model, cfg: AchelousConfig, tcfg: TrainConfig,
     step_fn = make_train_step(model, cfg, tcfg)
     ev_fn = make_eval_step(model, cfg, tcfg)
     if mesh is not None and mesh.size > 1:
-        # a pallas_call has no partitioning rule, so the GSPMD-partitioned
-        # step must trace the XLA fallback kernels (same as sharded_infer)
-        from achelous_tpu.core.kernels import no_pallas
+        # a bare pallas_call has no GSPMD partitioning rule; trace under a
+        # pallas_batch_mesh scope so kernel call sites shard_map themselves
+        # over the data axis and keep the Pallas kernels live per shard
+        # (core/kernels.shard_wrap — same as sharded_infer)
+        from achelous_tpu.core.kernels import pallas_batch_mesh
 
-        def _xla_only(fn):
+        def _on_mesh(fn):
             def wrapped(*a, **kw):
-                with no_pallas():
+                with pallas_batch_mesh(mesh):
                     return fn(*a, **kw)
             return wrapped
 
-        step_fn, ev_fn = _xla_only(step_fn), _xla_only(ev_fn)
+        step_fn, ev_fn = _on_mesh(step_fn), _on_mesh(ev_fn)
     train_step = jax.jit(step_fn)
     eval_step = jax.jit(ev_fn)
     history = LossHistory(log_dir)

@@ -38,6 +38,7 @@ def tiny_ds(tmp_path_factory):
     return cfg, WaterScenesDataset(cfg, paths, max_gt=8)
 
 
+@pytest.mark.slow   # full fit() compile: minutes on cold XLA:CPU
 def test_fit_runs_and_resumes(tiny_ds, tmp_path):
     from achelous_tpu.models.achelous import create_model
     from achelous_tpu.train.checkpoints import CheckpointManager
@@ -68,3 +69,22 @@ def test_fit_runs_and_resumes(tiny_ds, tmp_path):
                  save_period=5, state=restored, progress=msgs.append)
     assert int(state3.epoch) == 3
     assert len(msgs) == 3     # exactly ONE more epoch ran
+
+
+def test_history_plots_metric_curves(tmp_path):
+    """LossHistory must write the reference's per-epoch curve pngs:
+    epoch_loss.png (utils/callbacks.py:56-83), epoch_map.png (:279-290) and
+    epoch_miou.png (utils_seg/callbacks.py:234-245) — metric keys appear
+    only on eval epochs, loss keys every epoch."""
+    pytest.importorskip("matplotlib")
+    from achelous_tpu.train.loop import LossHistory
+
+    h = LossHistory(str(tmp_path))
+    h.append(0, loss=2.0, val_loss=2.2)
+    h.append(1, loss=1.5, val_loss=1.8, **{"mAP50": 0.3, "mAP50-95": 0.2},
+             miou_sem=0.5, miou_wl=0.7, miou_pc=0.4)
+    h.append(2, loss=1.2, val_loss=1.6)
+    h.append(3, loss=1.0, val_loss=1.5, **{"mAP50": 0.5, "mAP50-95": 0.3},
+             miou_sem=0.6, miou_wl=0.8, miou_pc=0.5)
+    for png in ("epoch_loss.png", "epoch_map.png", "epoch_miou.png"):
+        assert os.path.exists(os.path.join(str(tmp_path), png)), png
