@@ -5,10 +5,15 @@ import os
 import sys
 
 import jax
+import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __graft_entry__ as graft  # noqa: E402
+
+# full multichip train-step compile (minutes on cold XLA:CPU): slow tier;
+# the driver exercises dryrun_multichip independently every round
+pytestmark = pytest.mark.slow
 
 
 def test_cpu_mesh_detection():
