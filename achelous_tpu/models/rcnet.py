@@ -17,24 +17,24 @@ import jax.numpy as jnp
 
 from achelous_tpu.core.config import WIDTHS
 from achelous_tpu.ops.deform import DeformableConv2d
-from achelous_tpu.ops.primitives import avg_pool_same
 
 Dtype = Any
 
 
 class RadarConv(nn.Module):
     """reference RadarEncoder.py:23-41 ('pool' first_calculator: 3x3 avg-pool
-    stride 1, then 3x3 deformable conv)."""
+    stride 1, then 3x3 deformable conv).  The pool is owned by
+    DeformableConv2d (input_pool=True) so the TPU path can fuse it into the
+    Pallas RadarConv kernel (ops/pallas_deform.py)."""
     features: int
     band: int | None = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = avg_pool_same(x, 3)
         return DeformableConv2d(self.features, kernel_size=3, stride=1,
                                 padding=1, use_bias=False, band=self.band,
-                                dtype=self.dtype,
+                                input_pool=True, dtype=self.dtype,
                                 name="deformable_conv")(x)
 
 

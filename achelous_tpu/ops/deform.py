@@ -9,7 +9,8 @@ at init this is exactly a standard conv with x1 modulation.
 """
 from __future__ import annotations
 
-from typing import Any
+import os
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax
@@ -135,6 +136,45 @@ def banded_deform_samples(x: jnp.ndarray, offset: jnp.ndarray,
     return acc.transpose(0, 3, 4, 1, 2).reshape(b, h, w, k * c)
 
 
+def conv_same(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
+              stride: int, padding: int, dtype) -> jnp.ndarray:
+    """Plain NHWC conv numerically identical to flax nn.Conv(dtype=dtype):
+    promote x/kernel/bias to `dtype`, lax conv, add bias."""
+    x = x.astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        x, kernel.astype(dtype), (stride, stride),
+        [(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + bias.astype(dtype)
+
+
+def fused_radarconv_reference(x: jnp.ndarray, ok: jnp.ndarray,
+                              ob: jnp.ndarray, mk: jnp.ndarray,
+                              mb: jnp.ndarray, wproj: jnp.ndarray,
+                              band: int, kh: int, kw: int,
+                              padding: int = 1) -> jnp.ndarray:
+    """XLA composition the fused Pallas RadarConv kernel replaces
+    (reference RadarEncoder.py:23-41 + conv_utils/dcn.py:6-64):
+    pool -> offset/modulator convs -> banded deformable sampling ->
+    output projection.  Also the fused kernel's custom_vjp backward.
+
+    x [B,H,W,C] RAW (un-pooled); ok/ob offset conv kernel/bias
+    [kh,kw,C,2K]/[2K]; mk/mb modulator conv kernel/bias [kh,kw,C,K]/[K];
+    wproj deform weight [kh,kw,C,Cout].  Returns [B,H,W,Cout].
+    """
+    from achelous_tpu.ops.primitives import avg_pool_same
+    c = x.shape[-1]
+    k = kh * kw
+    pooled = avg_pool_same(x, 3)
+    dt = x.dtype
+    offset = conv_same(pooled, ok, ob, 1, padding, dt)
+    mask = 2.0 * jax.nn.sigmoid(conv_same(pooled, mk, mb, 1, padding, dt))
+    samples = banded_deform_samples(pooled, offset, mask, band, kh, kw,
+                                    padding)
+    return jnp.einsum("bhwi,io->bhwo", samples,
+                      wproj.reshape(k * c, -1).astype(dt))
+
+
 def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
                   weight: jnp.ndarray, bias: jnp.ndarray | None = None,
                   stride: int = 1, padding: int = 1,
@@ -216,11 +256,39 @@ def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
     return out
 
 
+class _ConvParams(nn.Module):
+    """Parameter container shaped exactly like nn.Conv's {kernel, bias}
+    (so checkpoints and the torch transplant are path-compatible) but
+    returning the raw arrays — the caller picks the compute site: the XLA
+    conv (`conv_same`) on the unfused path, or in-kernel shifted-plane
+    FMAs on the fused Pallas path."""
+    features: int
+    ksize: Tuple[int, int]
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.zeros,
+                            self.ksize + (self.in_features, self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return kernel, bias
+
+
 class DeformableConv2d(nn.Module):
     """reference backbone/conv_utils/dcn.py:6-64.
 
     Offset and modulator convs are zero-initialized (weights and biases) so
     training starts from plain-conv behavior; modulator is 2*sigmoid(.).
+
+    With `input_pool=True` (RadarConv, reference RadarEncoder.py:23-41) the
+    module owns the preceding 3x3 stride-1 avg-pool; on TPU with a band set
+    this enables the fused Pallas kernel (ops/pallas_deform.py
+    `pallas_fused_radarconv`) that computes pool + offset/modulator convs +
+    sampling + projection in one VMEM-resident pass — the tiny-channel XLA
+    convs and the layout copies around the standalone sampling kernel
+    dominated bs=1 latency (TRACE_SUMMARY_BS1.txt).
     """
     features: int
     kernel_size: int = 3
@@ -236,6 +304,7 @@ class DeformableConv2d(nn.Module):
     band: int | None = None   # banded fast path (see banded_deform_samples);
                               # None = exact unbounded-offset gather
     use_pallas: bool | None = None  # None = auto (Pallas kernel on TPU)
+    input_pool: bool = False  # module applies avg_pool3x3 to its input
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -243,20 +312,46 @@ class DeformableConv2d(nn.Module):
         kh = kw = self.kernel_size
         k = kh * kw
         p = self.padding
-        offset = nn.Conv(2 * k, (kh, kw), strides=self.stride,
-                         padding=[(p, p), (p, p)],
-                         kernel_init=nn.initializers.zeros,
-                         bias_init=nn.initializers.zeros,
-                         dtype=self.dtype, name="offset_conv")(x)
-        modulator = 2.0 * jax.nn.sigmoid(
-            nn.Conv(k, (kh, kw), strides=self.stride, padding=[(p, p), (p, p)],
-                    kernel_init=nn.initializers.zeros,
-                    bias_init=nn.initializers.zeros,
-                    dtype=self.dtype, name="modulator_conv")(x))
+        cin = x.shape[-1]
+        okernel, obias = _ConvParams(2 * k, (kh, kw), cin,
+                                     name="offset_conv")()
+        mkernel, mbias = _ConvParams(k, (kh, kw), cin,
+                                     name="modulator_conv")()
         weight = self.param("weight", nn.initializers.lecun_normal(),
-                            (kh, kw, x.shape[-1], self.features), jnp.float32)
+                            (kh, kw, cin, self.features), jnp.float32)
         bias = (self.param("bias", nn.initializers.zeros, (self.features,),
                            jnp.float32) if self.use_bias else None)
+
+        from achelous_tpu.core.kernels import (interpret_default,
+                                               pallas_default, shard_wrap)
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = pallas_default(batch_size=x.shape[0])
+        fuse_cap = int(os.environ.get("ACHELOUS_DEFORM_FUSE_MAX_CIN", "8"))
+        if (self.input_pool and self.band is not None and self.stride == 1
+                and use_pallas and cin <= fuse_cap):
+            from achelous_tpu.ops.pallas_deform import pallas_fused_radarconv
+            interp = interpret_default()
+            dt = self.dtype
+
+            def fused(xx, okk, obb, mkk, mbb, ww):
+                return pallas_fused_radarconv(xx, okk, obb, mkk, mbb, ww,
+                                              self.band, kh, kw, p, interp)
+
+            out = shard_wrap(fused, (True, False, False, False, False,
+                                     False))(
+                x, okernel.astype(dt), obias.astype(dt), mkernel.astype(dt),
+                mbias.astype(dt), weight.astype(dt))
+            if bias is not None:
+                out = out + bias.astype(dt)
+            return out
+
+        if self.input_pool:
+            from achelous_tpu.ops.primitives import avg_pool_same
+            x = avg_pool_same(x, 3)
+        offset = conv_same(x, okernel, obias, self.stride, p, self.dtype)
+        modulator = 2.0 * jax.nn.sigmoid(
+            conv_same(x, mkernel, mbias, self.stride, p, self.dtype))
         fn = deform_conv2d
         if self.remat:
             fn = jax.checkpoint(deform_conv2d, static_argnums=(5, 6, 7, 8))

@@ -223,3 +223,224 @@ def pallas_deform_samples(x: jnp.ndarray, offset: jnp.ndarray,
     ops/deform.py `banded_deform_samples`."""
     return pallas_deform_samples_cf(x, offset, mask, band, kh, kw, padding,
                                     interpret).transpose(0, 2, 3, 1)
+
+
+# ---------------------------------------------------------------------------
+# Fused RadarConv kernel: avg-pool + offset/modulator convs + tiered banded
+# sampling + output projection in ONE kernel.
+#
+# Motivation (TRACE_SUMMARY_BS1.txt, 2026-08-18): at bs=1 the XLA-side
+# offset/modulator convs of RCNet block 0 cost ~0.70 ms/iter — their tiny
+# channel counts (3 in, 18/9 out at 320^2) force C-minor layouts that run
+# the VPU at 7-14% lane occupancy — plus ~0.16 ms avg-pool, ~0.11 ms
+# NHWC->CF copies feeding the kernel, and ~0.20 ms relaying the [B,K*C,H,W]
+# samples into the projection matmul; at bs=32 the samples relayout alone
+# is 5.8 ms/iter of 42 ms.  Inside the kernel all of these become
+# full-lane [*, W]-plane FMAs on the already-resident VMEM slab, and the
+# kernel's HBM traffic drops from (pooled in + offsets in + mask in +
+# K*C samples out) to (raw in + Cout out).
+#
+# The composition it replaces (reference RadarEncoder.py:23-41 "pool"
+# first_calculator + conv_utils/dcn.py:6-64): pooled = avgpool3x3(x);
+# off = conv3x3(pooled); mask = 2*sigmoid(conv3x3(pooled));
+# y = deform_conv2d(pooled, off, mask, weight) — see ops/deform.py
+# `fused_radarconv_reference`, which is also this op's backward (custom_vjp
+# recompute, same pattern as pallas_deform_samples_cf).
+# ---------------------------------------------------------------------------
+
+
+def _fused_kernel(x_ref, wo_ref, bo_ref, wm_ref, bm_ref, wp_ref, out_ref,
+                  off_ref, mask_ref, acc_ref, proj_ref, *,
+                  band: int, kh: int, kw: int, th: int, h: int, w: int,
+                  c: int, cout: int, pr: int, padding: int,
+                  single_tile: bool):
+    k = kh * kw
+    i = pl.program_id(1)
+    row0 = i * th
+    q = pr - 1                      # pooled-slab halo (pool eats one ring)
+
+    # ONE aligned load of the raw tile + halo; f32 compute throughout (see
+    # _deform_kernel's dtype note).
+    if single_tile:
+        slab = x_ref[0, :, 0:th + 2 * pr, :].astype(jnp.float32)
+    else:
+        slab = x_ref[0, :, pl.ds(row0, th + 2 * pr), :].astype(jnp.float32)
+
+    # 3x3 stride-1 avg-pool (count_include_pad, torch AvgPool2d semantics)
+    # over the halo too, then zero everything outside the true image: the
+    # unfused path pools INSIDE the image and zero-pads the pooled map, so
+    # pooled values beyond the boundary must read exactly 0 (trained nets
+    # drive taps out-of-image to drop them — OFFSET_DISTRIBUTION.json).
+    pooled = None
+    for dy in range(3):
+        for dx in range(3):
+            t = slab[:, dy:dy + th + 2 * q, dx:dx + w + 2 * q]
+            pooled = t if pooled is None else pooled + t
+    pooled = pooled * (1.0 / 9.0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (th + 2 * q, w + 2 * q), 0) \
+        + (row0 - q)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2 * q, w + 2 * q), 1) - q
+    valid = ((rows >= 0) & (rows < h) & (cols >= 0) & (cols < w))
+    pooled = pooled * valid.astype(jnp.float32)[None]
+
+    def cplane(w_sref, b_sref, o):
+        """Conv3x3-SAME output channel `o` over the [th, w] tile: full-lane
+        shifted-plane FMAs with scalar weights from SMEM."""
+        acc = None
+        for ky in range(kh):
+            for kx in range(kw):
+                for ci in range(c):
+                    wv = w_sref[(ky * kw + kx) * c + ci, o]
+                    t = wv * pooled[ci,
+                                    q - padding + ky:q - padding + ky + th,
+                                    q - padding + kx:q - padding + kx + w]
+                    acc = t if acc is None else acc + t
+        return acc + b_sref[o]
+
+    for o in range(2 * k):
+        off_ref[o] = cplane(wo_ref, bo_ref, o)
+    for o in range(k):
+        mask_ref[o] = 2.0 * jax.nn.sigmoid(cplane(wm_ref, bm_ref, o))
+    mo = jnp.max(jnp.abs(off_ref[:]))
+
+    def xs(ty, tx, dy, dx):
+        return pooled[:, q + ty + dy:q + ty + dy + th,
+                      q + tx + dx:q + tx + dx + w]
+
+    def project(ki):
+        """proj += wproj[ki*c + ci, co] * acc — the [K*C, Cout] output
+        projection folded in, so only Cout planes ever leave the kernel."""
+        for co in range(cout):
+            s = None
+            for ci in range(c):
+                t = wp_ref[ki * c + ci, co] * acc_ref[ci]
+                s = t if s is None else s + t
+            if ki == 0:
+                proj_ref[co] = s
+            else:
+                proj_ref[co] = proj_ref[co] + s
+
+    @pl.when(mo == 0.0)
+    def _():
+        for ki in range(k):
+            ty, tx = ki // kw - padding, ki % kw - padding
+            acc_ref[:] = xs(ty, tx, 0, 0) * mask_ref[ki][None]
+            project(ki)
+        out_ref[0] = proj_ref[:].astype(out_ref.dtype)
+
+    def dense(r_eff: int):
+        for ki in range(k):
+            ty, tx = ki // kw - padding, ki % kw - padding
+            oy = jnp.clip(off_ref[2 * ki], -band, band)
+            ox = jnp.clip(off_ref[2 * ki + 1], -band, band)
+            wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(ox - dx))
+                   for dx in range(-r_eff, r_eff + 1)]
+            for dy in range(-r_eff, r_eff + 1):
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(oy - dy))
+                row = None
+                for j, dx in enumerate(range(-r_eff, r_eff + 1)):
+                    term = (wy * wxs[j])[None] * xs(ty, tx, dy, dx)
+                    row = term if row is None else row + term
+                if dy == -r_eff:
+                    acc_ref[:] = row
+                else:
+                    acc_ref[:] = acc_ref[:] + row
+            acc_ref[:] = acc_ref[:] * mask_ref[ki][None]
+            project(ki)
+        out_ref[0] = proj_ref[:].astype(out_ref.dtype)
+
+    tiers = sorted({r for r in (1, 2, band) if r <= band})
+    lo = 0.0
+    for r_eff in tiers:
+        is_last = r_eff == tiers[-1]
+        cond = ((mo > lo) & (mo <= r_eff)) if not is_last else (mo > lo)
+        pl.when(cond)(functools.partial(dense, r_eff))
+        lo = float(r_eff)
+
+
+def _fused_impl(xcf, ok, ob, mk, mb, wp, band, kh, kw, padding,
+                interpret=False):
+    """xcf [B,C,H,W] raw (un-pooled); ok/mk [kh,kw,C,2K|K] conv kernels;
+    wp [kh*kw*C, Cout] projection -> [B, Cout, H, W]."""
+    b, c, h, w = xcf.shape
+    k = kh * kw
+    r = int(band)
+    cout = wp.shape[-1]
+    # sampling halo as in _pallas_deform_cf_impl, + 1 ring for the pool,
+    # rounded to 8 for sublane alignment
+    ps = -(-(r + 1 + max(padding, max(kh, kw) // 2)) // 8) * 8
+    pr = ps + 8
+    th = _row_tile(h, w)
+
+    f32 = jnp.float32
+    xp = jnp.pad(xcf, ((0, 0), (0, 0), (pr, pr), (pr, pr)))
+    kernel = functools.partial(
+        _fused_kernel, band=r, kh=kh, kw=kw, th=th, h=h, w=w, c=c,
+        cout=cout, pr=pr, padding=padding, single_tile=(th == h))
+    smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h // th),
+        in_specs=[
+            pl.BlockSpec((1, c, h + 2 * pr, w + 2 * pr),
+                         lambda bi, i: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            smem((k * c, 2 * k), lambda bi, i: (0, 0)),
+            smem((2 * k,), lambda bi, i: (0,)),
+            smem((k * c, k), lambda bi, i: (0, 0)),
+            smem((k,), lambda bi, i: (0,)),
+            smem((k * c, cout), lambda bi, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, cout, th, w), lambda bi, i: (bi, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, cout, h, w), xcf.dtype),
+        scratch_shapes=[pltpu.VMEM((2 * k, th, w), f32),
+                        pltpu.VMEM((k, th, w), f32),
+                        pltpu.VMEM((c, th, w), f32),
+                        pltpu.VMEM((cout, th, w), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, ok.reshape(k * c, 2 * k).astype(f32), ob.astype(f32),
+      mk.reshape(k * c, k).astype(f32), mb.astype(f32), wp.astype(f32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def pallas_fused_radarconv(x: jnp.ndarray, ok: jnp.ndarray, ob: jnp.ndarray,
+                           mk: jnp.ndarray, mb: jnp.ndarray,
+                           wproj: jnp.ndarray, band: int, kh: int, kw: int,
+                           padding: int = 1,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Fused RadarConv (pool + offset/modulator convs + banded deformable
+    sampling + projection) on TPU via Pallas.
+
+    Args mirror ops/deform.py `fused_radarconv_reference`: x [B,H,W,C] RAW
+    (the kernel pools it), ok/ob and mk/mb the offset/modulator conv
+    kernels [kh,kw,C,2K]/[2K] and [kh,kw,C,K]/[K], wproj the deform weight
+    [kh,kw,C,Cout].  Returns [B, H, W, Cout].  Stride-1 only.
+    """
+    k = kh * kw
+    cout = wproj.shape[-1]
+    out_cf = _fused_impl(x.transpose(0, 3, 1, 2), ok, ob, mk, mb,
+                         wproj.reshape(k * x.shape[-1], cout),
+                         band, kh, kw, padding, interpret)
+    return out_cf.transpose(0, 2, 3, 1)
+
+
+def _fused_fwd(x, ok, ob, mk, mb, wproj, band, kh, kw, padding,
+               interpret=False):
+    out = pallas_fused_radarconv(x, ok, ob, mk, mb, wproj, band, kh, kw,
+                                 padding, interpret)
+    return out, (x, ok, ob, mk, mb, wproj)
+
+
+def _fused_bwd(band, kh, kw, padding, interpret, res, g):
+    from achelous_tpu.ops.deform import fused_radarconv_reference
+    x, ok, ob, mk, mb, wproj = res
+    _, pullback = jax.vjp(
+        lambda *a: fused_radarconv_reference(*a, band, kh, kw, padding),
+        x, ok, ob, mk, mb, wproj)
+    return pullback(g)
+
+
+pallas_fused_radarconv.defvjp(_fused_fwd, _fused_bwd)

@@ -126,6 +126,39 @@ def check_deform() -> dict:
     return {"ok": worst < 1e-5, "worst_rel_err": worst, "cases": cases}
 
 
+def check_fused_radarconv() -> dict:
+    """Fused pool+conv+sampling+projection kernel == XLA composition on the
+    real chip (production RCNet path, ops/deform.py input_pool=True)."""
+    import jax.numpy as jnp
+    from achelous_tpu.ops.deform import fused_radarconv_reference
+    from achelous_tpu.ops.pallas_deform import pallas_fused_radarconv
+
+    rng = np.random.RandomState(4)
+    worst = 0.0
+    cases = []
+    # (b, h, w, c, cout, off_w, off_b): RCNet block-0/1 channel shapes,
+    # offset conv weights scaled to hit each adaptive tier incl. clipping
+    for b, h, w, c, cout, off_w, off_b in [
+            (1, 32, 32, 3, 3, 0.0, 0.0), (1, 32, 32, 3, 3, 0.05, 0.3),
+            (2, 48, 40, 8, 8, 0.2, 1.5), (1, 32, 32, 3, 3, 1.0, 6.0)]:
+        x = jnp.asarray(rng.randn(b, h, w, c), jnp.float32)
+        ok = jnp.asarray(rng.randn(3, 3, c, 18) * off_w, jnp.float32)
+        ob = jnp.asarray(rng.randn(18) * off_b, jnp.float32)
+        mk = jnp.asarray(rng.randn(3, 3, c, 9) * 0.3, jnp.float32)
+        mb = jnp.asarray(rng.randn(9) * 0.3, jnp.float32)
+        wp = jnp.asarray(rng.randn(3, 3, c, cout) * 0.2, jnp.float32)
+        want = np.asarray(fused_radarconv_reference(x, ok, ob, mk, mb, wp,
+                                                    4, 3, 3, 1))
+        got = np.asarray(pallas_fused_radarconv(x, ok, ob, mk, mb, wp,
+                                                4, 3, 3, 1))
+        err = float(np.abs(got - want).max() /
+                    max(np.abs(want).max(), 1e-9))
+        worst = max(worst, err)
+        cases.append({"shape": [b, h, w, c, cout],
+                      "off": [off_w, off_b], "rel_err": round(err, 8)})
+    return {"ok": worst < 1e-5, "worst_rel_err": worst, "cases": cases}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="", help="also write the JSON artifact")
@@ -146,9 +179,11 @@ def main(argv=None):
                   "device": str(jax.devices()[0]),
                   "fps": check_fps(),
                   "attention": check_attention(),
-                  "deform": check_deform()}
+                  "deform": check_deform(),
+                  "fused_radarconv": check_fused_radarconv()}
     result["ok"] = all(result[k]["ok"] for k in ("fps", "attention",
-                                                 "deform"))
+                                                 "deform",
+                                                 "fused_radarconv"))
     line = json.dumps(result)
     print(line)
     if args.out:
