@@ -148,6 +148,28 @@ def conv_same(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
     return y + bias.astype(dtype)
 
 
+def avg_pool_same_cf(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """torch AvgPool2d(k, 1, padding=k//2, count_include_pad=True) on a
+    channels-first [B,C,H,W] tensor."""
+    p = k // 2
+    s = jax.lax.reduce_window(x, jnp.zeros((), x.dtype), jax.lax.add,
+                              (1, 1, k, k), (1, 1, 1, 1),
+                              ((0, 0), (0, 0), (p, p), (p, p)))
+    return s * jnp.asarray(1.0 / (k * k), x.dtype)
+
+
+def conv_same_cf(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
+                 stride: int, padding: int, dtype) -> jnp.ndarray:
+    """`conv_same` for channels-first tensors: x [B,C,H,W], kernel HWIO,
+    returns [B,Cout,H',W']."""
+    x = x.astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        x, kernel.astype(dtype), (stride, stride),
+        [(padding, padding), (padding, padding)],
+        dimension_numbers=("NCHW", "HWIO", "NCHW"))
+    return y + bias.astype(dtype)[:, None, None]
+
+
 def fused_radarconv_reference(x: jnp.ndarray, ok: jnp.ndarray,
                               ob: jnp.ndarray, mk: jnp.ndarray,
                               mb: jnp.ndarray, wproj: jnp.ndarray,
@@ -305,6 +327,9 @@ class DeformableConv2d(nn.Module):
                               # None = exact unbounded-offset gather
     use_pallas: bool | None = None  # None = auto (Pallas kernel on TPU)
     input_pool: bool = False  # module applies avg_pool3x3 to its input
+    cf: bool = False          # x and the result are channels-first
+                              # [B,C,H,W] (CF-chained RCNet: no NHWC<->CF
+                              # transposes around the Pallas kernels)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -312,7 +337,7 @@ class DeformableConv2d(nn.Module):
         kh = kw = self.kernel_size
         k = kh * kw
         p = self.padding
-        cin = x.shape[-1]
+        cin = x.shape[1] if self.cf else x.shape[-1]
         okernel, obias = _ConvParams(2 * k, (kh, kw), cin,
                                      name="offset_conv")()
         mkernel, mbias = _ConvParams(k, (kh, kw), cin,
@@ -328,23 +353,74 @@ class DeformableConv2d(nn.Module):
         if use_pallas is None:
             use_pallas = pallas_default(batch_size=x.shape[0])
         fuse_cap = int(os.environ.get("ACHELOUS_DEFORM_FUSE_MAX_CIN", "8"))
+        # The fused whole-RadarConv kernel wins only at small batch: its
+        # shifted-plane offset/modulator convs run per (batch, row) grid
+        # cell on the VPU, so its cost stays linear in batch while XLA
+        # batches the standalone convs efficiently.  Measured crossover
+        # (tools/radarconv_batch_ab.py, RADARCONV_AB.json, RCNet-S0 320²
+        # v5e): fused wins at bs=1 (1.49 vs 2.10 ms/frame) and bs=2
+        # (1.13 vs 1.19), loses from bs=4 up (1.04 vs 0.93).  Under a
+        # batch mesh the kernel runs per-shard, so gate on the per-shard
+        # batch.
+        fuse_bs = int(os.environ.get("ACHELOUS_DEFORM_FUSE_MAX_BATCH", "2"))
+        from achelous_tpu.core.kernels import batch_mesh
+        ctx = batch_mesh()
+        shard_bs = x.shape[0] // (ctx[0].size if ctx is not None else 1)
         if (self.input_pool and self.band is not None and self.stride == 1
-                and use_pallas and cin <= fuse_cap):
+                and use_pallas and cin <= fuse_cap and shard_bs <= fuse_bs):
             from achelous_tpu.ops.pallas_deform import pallas_fused_radarconv
             interp = interpret_default()
             dt = self.dtype
 
             def fused(xx, okk, obb, mkk, mbb, ww):
                 return pallas_fused_radarconv(xx, okk, obb, mkk, mbb, ww,
-                                              self.band, kh, kw, p, interp)
+                                              self.band, kh, kw, p, interp,
+                                              self.cf)
 
             out = shard_wrap(fused, (True, False, False, False, False,
                                      False))(
                 x, okernel.astype(dt), obias.astype(dt), mkernel.astype(dt),
                 mbias.astype(dt), weight.astype(dt))
             if bias is not None:
-                out = out + bias.astype(dt)
+                b_dt = bias.astype(dt)
+                out = out + (b_dt[:, None, None] if self.cf else b_dt)
             return out
+
+        if self.cf and self.band is not None and self.stride == 1 \
+                and use_pallas:
+            # channels-first unfused Pallas path (RCNet blocks whose cin
+            # exceeds the fuse cap): pool + offset/modulator convs in CF,
+            # cf-in/cf-out sampling kernel, projection before any layout
+            # change
+            from achelous_tpu.ops.pallas_deform import (
+                pallas_deform_samples_cfio)
+            interp = interpret_default()
+            dt = self.dtype
+            xcf = avg_pool_same_cf(x, 3) if self.input_pool else x
+            off = conv_same_cf(xcf, okernel, obias, 1, p, dt)
+            mod = 2.0 * jax.nn.sigmoid(
+                conv_same_cf(xcf, mkernel, mbias, 1, p, dt))
+
+            def cf_deform(xx, oo, mm, ww):
+                samples = shard_wrap(
+                    lambda a, b, c: pallas_deform_samples_cfio(
+                        a, b, c, self.band, kh, kw, p, interp),
+                    (True, True, True))(xx, oo, mm)
+                return jnp.einsum("bihw,io->bohw", samples,
+                                  ww.reshape(k * cin, -1))
+            fn = cf_deform
+            if self.remat:
+                fn = jax.checkpoint(cf_deform)
+            out = fn(xcf, off, mod, weight.astype(dt))
+            if bias is not None:
+                out = out + bias.astype(dt)[:, None, None]
+            return out
+
+        if self.cf:
+            # correctness escape (cf requested but Pallas unavailable):
+            # NHWC roundtrip — RCNet only selects cf when Pallas is on,
+            # so this never traces on the production path
+            x = x.transpose(0, 2, 3, 1)
 
         if self.input_pool:
             from achelous_tpu.ops.primitives import avg_pool_same
@@ -355,7 +431,8 @@ class DeformableConv2d(nn.Module):
         fn = deform_conv2d
         if self.remat:
             fn = jax.checkpoint(deform_conv2d, static_argnums=(5, 6, 7, 8))
-        return fn(x, offset, modulator,
-                  weight.astype(self.dtype),
-                  None if bias is None else bias.astype(self.dtype),
-                  self.stride, self.padding, self.band, self.use_pallas)
+        out = fn(x, offset, modulator,
+                 weight.astype(self.dtype),
+                 None if bias is None else bias.astype(self.dtype),
+                 self.stride, self.padding, self.band, self.use_pallas)
+        return out.transpose(0, 3, 1, 2) if self.cf else out

@@ -25,12 +25,21 @@ class F32BatchNorm(nn.Module):
     epsilon: float = 1e-5
     dtype: Any = None          # accepted for call-site compatibility; the
                                # output always matches the input dtype
+    axis: int = -1             # feature axis (1 for the CF-chained RCNet;
+                               # param/stat shapes stay (C,) either way)
     scale_init: Any = nn.initializers.ones
     bias_init: Any = nn.initializers.zeros
 
     @nn.compact
     def __call__(self, x):
-        feats = x.shape[-1]
+        ax = self.axis % x.ndim
+        feats = x.shape[ax]
+        bshape = [1] * x.ndim
+        bshape[ax] = feats
+
+        def bc(v):
+            return v.reshape(bshape)
+
         scale = self.param("scale", self.scale_init, (feats,), jnp.float32)
         bias = self.param("bias", self.bias_init, (feats,), jnp.float32)
         ra_mean = self.variable("batch_stats", "mean", nn.initializers.zeros,
@@ -42,10 +51,10 @@ class F32BatchNorm(nn.Module):
             # applied in the activation dtype — no fp32 casts of the
             # activations, so inference cost matches a plain bf16 BN
             t = scale * jax.lax.rsqrt(ra_var.value + self.epsilon)
-            return x * t.astype(x.dtype) + \
-                (bias - ra_mean.value * t).astype(x.dtype)
+            return x * bc(t.astype(x.dtype)) + \
+                bc((bias - ra_mean.value * t).astype(x.dtype))
         xf = x.astype(jnp.float32)
-        axes = tuple(range(x.ndim - 1))
+        axes = tuple(i for i in range(x.ndim) if i != ax)
         mean = jnp.mean(xf, axes)
         var = jnp.mean(jnp.square(xf), axes) - jnp.square(mean)
         if not self.is_initializing():
@@ -53,5 +62,6 @@ class F32BatchNorm(nn.Module):
                              (1.0 - self.momentum) * mean)
             ra_var.value = (self.momentum * ra_var.value +
                             (1.0 - self.momentum) * var)
-        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        y = (xf - bc(mean)) * jax.lax.rsqrt(bc(var) + self.epsilon) \
+            * bc(scale) + bc(bias)
         return y.astype(x.dtype)

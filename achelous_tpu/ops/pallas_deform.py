@@ -215,6 +215,42 @@ def _cf_bwd(band, kh, kw, padding, interpret, res, g):
 pallas_deform_samples_cf.defvjp(_cf_fwd, _cf_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def pallas_deform_samples_cfio(xcf: jnp.ndarray, ocf: jnp.ndarray,
+                               mcf: jnp.ndarray, band: int, kh: int,
+                               kw: int, padding: int = 1,
+                               interpret: bool = False) -> jnp.ndarray:
+    """Channels-first IN AND OUT variant of `pallas_deform_samples_cf`
+    (x [B,C,H,W], offset [B,2K,H,W], mask [B,K,H,W] -> [B,K*C,H,W]) for
+    callers that already hold CF tensors — the CF-chained RCNet
+    (models/rcnet.py) keeps the whole radar encoder channels-first so no
+    NHWC<->CF transposes surround the kernels."""
+    return _pallas_deform_cf_impl(xcf, ocf, mcf, band, kh, kw, padding,
+                                  interpret)
+
+
+def _cfio_fwd(xcf, ocf, mcf, band, kh, kw, padding, interpret=False):
+    out = pallas_deform_samples_cfio(xcf, ocf, mcf, band, kh, kw, padding,
+                                     interpret)
+    return out, (xcf, ocf, mcf)
+
+
+def _cfio_bwd(band, kh, kw, padding, interpret, res, g):
+    from achelous_tpu.ops.deform import banded_deform_samples
+    xcf, ocf, mcf = res
+    _, pullback = jax.vjp(
+        lambda xx, oo, mm: banded_deform_samples(xx, oo, mm, band, kh, kw,
+                                                 padding),
+        xcf.transpose(0, 2, 3, 1), ocf.transpose(0, 2, 3, 1),
+        mcf.transpose(0, 2, 3, 1))
+    dx, do, dm = pullback(g.transpose(0, 2, 3, 1))
+    return (dx.transpose(0, 3, 1, 2), do.transpose(0, 3, 1, 2),
+            dm.transpose(0, 3, 1, 2))
+
+
+pallas_deform_samples_cfio.defvjp(_cfio_fwd, _cfio_bwd)
+
+
 def pallas_deform_samples(x: jnp.ndarray, offset: jnp.ndarray,
                           mask: jnp.ndarray, band: int, kh: int, kw: int,
                           padding: int = 1,
@@ -405,12 +441,12 @@ def _fused_impl(xcf, ok, ob, mk, mb, wp, band, kh, kw, padding,
       mk.reshape(k * c, k).astype(f32), mb.astype(f32), wp.astype(f32))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
 def pallas_fused_radarconv(x: jnp.ndarray, ok: jnp.ndarray, ob: jnp.ndarray,
                            mk: jnp.ndarray, mb: jnp.ndarray,
                            wproj: jnp.ndarray, band: int, kh: int, kw: int,
-                           padding: int = 1,
-                           interpret: bool = False) -> jnp.ndarray:
+                           padding: int = 1, interpret: bool = False,
+                           cf: bool = False) -> jnp.ndarray:
     """Fused RadarConv (pool + offset/modulator convs + banded deformable
     sampling + projection) on TPU via Pallas.
 
@@ -418,29 +454,39 @@ def pallas_fused_radarconv(x: jnp.ndarray, ok: jnp.ndarray, ob: jnp.ndarray,
     (the kernel pools it), ok/ob and mk/mb the offset/modulator conv
     kernels [kh,kw,C,2K]/[2K] and [kh,kw,C,K]/[K], wproj the deform weight
     [kh,kw,C,Cout].  Returns [B, H, W, Cout].  Stride-1 only.
+
+    With cf=True, x is [B,C,H,W] and the result [B,Cout,H,W] — the kernel
+    is channels-first internally, so this just skips the boundary
+    transposes (the CF-chained RCNet keeps the whole radar encoder CF).
     """
     k = kh * kw
     cout = wproj.shape[-1]
-    out_cf = _fused_impl(x.transpose(0, 3, 1, 2), ok, ob, mk, mb,
-                         wproj.reshape(k * x.shape[-1], cout),
+    c = x.shape[1] if cf else x.shape[-1]
+    xcf = x if cf else x.transpose(0, 3, 1, 2)
+    out_cf = _fused_impl(xcf, ok, ob, mk, mb, wproj.reshape(k * c, cout),
                          band, kh, kw, padding, interpret)
-    return out_cf.transpose(0, 2, 3, 1)
+    return out_cf if cf else out_cf.transpose(0, 2, 3, 1)
 
 
 def _fused_fwd(x, ok, ob, mk, mb, wproj, band, kh, kw, padding,
-               interpret=False):
+               interpret=False, cf=False):
     out = pallas_fused_radarconv(x, ok, ob, mk, mb, wproj, band, kh, kw,
-                                 padding, interpret)
+                                 padding, interpret, cf)
     return out, (x, ok, ob, mk, mb, wproj)
 
 
-def _fused_bwd(band, kh, kw, padding, interpret, res, g):
+def _fused_bwd(band, kh, kw, padding, interpret, cf, res, g):
     from achelous_tpu.ops.deform import fused_radarconv_reference
     x, ok, ob, mk, mb, wproj = res
+    xn = x.transpose(0, 2, 3, 1) if cf else x
     _, pullback = jax.vjp(
         lambda *a: fused_radarconv_reference(*a, band, kh, kw, padding),
-        x, ok, ob, mk, mb, wproj)
-    return pullback(g)
+        xn, ok, ob, mk, mb, wproj)
+    dx, dok, dob, dmk, dmb, dwp = pullback(
+        g.transpose(0, 2, 3, 1) if cf else g)
+    if cf:
+        dx = dx.transpose(0, 3, 1, 2)
+    return dx, dok, dob, dmk, dmb, dwp
 
 
 pallas_fused_radarconv.defvjp(_fused_fwd, _fused_bwd)
