@@ -39,11 +39,24 @@ def farthest_point_sample(xyz: jnp.ndarray, npoint: int,
     (ops/pallas_pointops.py — faster where the npoint-step XLA loop is
     dispatch/launch-overhead-bound; exact same indices, pinned by
     tests/test_pallas_pointops.py, and timed per round by
-    tools/latency_ablation.py).  use_pallas=None auto-selects by backend."""
-    from achelous_tpu.core.kernels import (interpret_default, pallas_default,
-                                           shard_wrap)
+    tools/latency_ablation.py).  use_pallas=None auto-selects by backend
+    AND batch: the kernel's grid runs per batch element so its cost is
+    linear in batch, while the XLA fori_loop's is near-constant
+    (dispatch-bound).  Measured (LATENCY_ABLATION.json, 512->128 v5e):
+    Pallas 0.027 vs XLA 0.41 ms at bs=1, but 1.86 vs 0.55 ms at bs=32 —
+    ~0.058 ms/sample against a ~0.5 ms floor puts the crossover near bs=8.
+    Under a batch mesh the kernel runs per-shard, so gate on the per-shard
+    batch (same policy as the fused RadarConv gate, ops/deform.py)."""
+    from achelous_tpu.core.kernels import (batch_mesh, interpret_default,
+                                           pallas_default, shard_wrap)
     if use_pallas is None:
         use_pallas = pallas_default(batch_size=xyz.shape[0])
+        if use_pallas:
+            import os
+            cap = int(os.environ.get("ACHELOUS_FPS_PALLAS_MAX_BATCH", "8"))
+            ctx = batch_mesh()
+            shard_bs = xyz.shape[0] // (ctx[0].size if ctx is not None else 1)
+            use_pallas = shard_bs <= cap
     if use_pallas:
         from achelous_tpu.ops.pallas_pointops import \
             pallas_farthest_point_sample
