@@ -31,6 +31,27 @@ from achelous_tpu.ops.radar_splat import minmax_normalize, splat_radar_fast
 DEFAULT_CLASS_NAMES = ("pier", "buoy", "sailor", "ship", "boat", "vessel",
                        "kayak")
 
+# provenance stamp key inside msgpack weight files
+# (tools/import_torch_weights.save_variables)
+META_KEY = "__achelous_meta__"
+
+
+def load_weights(path: str) -> Tuple[dict, dict]:
+    """Restore a msgpack weights file -> (variables, meta).
+
+    `meta` is the provenance stamp written by tools/import_torch_weights
+    (empty dict for unstamped files).  meta["provenance"] ==
+    "torch-transplant" means the weights were trained with UNBOUNDED deform
+    offsets (torchvision deform_conv2d, reference conv_utils/dcn.py:56-63);
+    evaluating them through the banded fast path silently clips 17.9% of
+    trained taps (OFFSET_DISTRIBUTION.json), so loaders must select
+    deform_band=None.  `from_weights` below does this automatically."""
+    from flax import serialization
+    with open(path, "rb") as f:
+        doc = serialization.msgpack_restore(f.read())
+    meta = doc.pop(META_KEY, {}) if isinstance(doc, dict) else {}
+    return doc, dict(meta)
+
 
 class AchelousPredictor:
     """Jitted end-to-end inference for one Achelous config."""
@@ -90,6 +111,37 @@ class AchelousPredictor:
 
         self._infer_fn = _infer_fn
         self._infer = jax.jit(_infer_fn)
+
+    @classmethod
+    def from_weights(cls, cfg: AchelousConfig, weights_path: str, **kwargs
+                     ) -> "AchelousPredictor":
+        """Build a predictor from a msgpack weights file, honoring its
+        provenance stamp.
+
+        Torch-transplanted checkpoints (tools/import_torch_weights.py) are
+        auto-evaluated with `deform_band=None` — the exact unbounded-offset
+        gather matching torchvision deform_conv2d semantics — because
+        trained reference offsets exceed the banded default
+        (OFFSET_DISTRIBUTION.json: p99 in the hundreds of cells; the clip
+        would silently change 17.9% of taps).  Pass an explicit
+        `deform_band=...` in cfg AND kwargs["force_band"]=True to override.
+        """
+        import dataclasses
+        import logging
+        variables, meta = load_weights(weights_path)
+        force_band = kwargs.pop("force_band", False)
+        if meta.get("provenance") == "torch-transplant" and not force_band \
+                and cfg.deform_band is not None:
+            logging.warning(
+                "weights %s are a torch transplant (trained with unbounded "
+                "deform offsets): overriding deform_band=%r -> None (exact "
+                "gather).  Pass force_band=True to keep the banded path.",
+                weights_path, cfg.deform_band)
+            print(f"[achelous] torch-transplant weights: deform_band="
+                  f"{cfg.deform_band!r} -> None (exact-gather parity path)",
+                  flush=True)
+            cfg = dataclasses.replace(cfg, deform_band=None)
+        return cls(cfg, variables, **kwargs)
 
     def sharded_infer(self, mesh=None):
         """Data-parallel batched inference over a device mesh — the TPU-native

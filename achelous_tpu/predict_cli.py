@@ -33,6 +33,15 @@ def build_parser():
     p.add_argument("--radar_npz", default="")
     p.add_argument("--radar_csv", default="")
     p.add_argument("--ckpt", default="", help="orbax checkpoint to load")
+    p.add_argument("--weights", default="",
+                   help="msgpack weights file (e.g. from "
+                        "tools/import_torch_weights.py); torch-transplant "
+                        "stamps auto-select the exact deform path")
+    p.add_argument("--deform_band", default="auto",
+                   help="deformable-conv offset band: 'auto' (config "
+                        "default, or exact for stamped torch transplants), "
+                        "'none' (exact unbounded-offset gather), or an "
+                        "integer cell radius")
     p.add_argument("--deploy", action="store_true",
                    help="fold reparameterizable blocks before compiling")
     p.add_argument("--out", default="export_results")
@@ -50,15 +59,35 @@ def build_parser():
     return p
 
 
+def parse_band(value: str):
+    """'auto' -> sentinel (config default / provenance auto-select),
+    'none' -> None (exact gather), else int cell radius."""
+    v = str(value).strip().lower()
+    if v == "auto":
+        return "auto"
+    if v in ("none", "null", "off"):
+        return None
+    return int(v)
+
+
 def load_predictor(args):
     import jax
     import jax.numpy as jnp
 
     from achelous_tpu.core.config import AchelousConfig
     from achelous_tpu.predict import AchelousPredictor
+    band = parse_band(args.deform_band)
+    cfg_kw = {} if band == "auto" else {"deform_band": band}
     cfg = AchelousConfig(backbone=args.backbone, neck=args.neck, phi=args.phi,
                          pc_model=args.pc_model, resolution=args.resolution,
-                         dtype=jnp.bfloat16)
+                         dtype=jnp.bfloat16, **cfg_kw)
+    if args.weights:
+        # msgpack weights honor their provenance stamp: torch transplants
+        # auto-select deform_band=None unless --deform_band was explicit
+        return AchelousPredictor.from_weights(
+            cfg, args.weights, force_band=(band != "auto"),
+            confidence=args.confidence, nms_iou=args.nms_iou,
+            deploy=args.deploy)
     variables = None
     if args.ckpt:
         from achelous_tpu.models.achelous import create_model, example_inputs

@@ -74,6 +74,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "quadrant); implies --augment")
     p.add_argument("--resume", default="",
                    help="checkpoint name under <log_dir>/ckpt to resume from")
+    p.add_argument("--deform_band", default="auto",
+                   help="deformable-conv offset band: 'auto' (config "
+                        "default), 'none' (exact unbounded-offset gather — "
+                        "required when fine-tuning torch-transplanted "
+                        "weights, OFFSET_DISTRIBUTION.json), or an integer "
+                        "cell radius")
     return p
 
 
@@ -90,11 +96,14 @@ def main(argv=None):
                                                 create_train_state)
 
     args = build_parser().parse_args(argv)
+    from achelous_tpu.predict_cli import parse_band
+    band = parse_band(args.deform_band)
+    cfg_kw = {} if band == "auto" else {"deform_band": band}
     cfg = AchelousConfig(
         backbone=args.backbone, neck=args.neck, phi=args.phi,
         pc_model=args.pc_model, nano_head=args.nd, use_spp=args.spp,
         resolution=args.resolution, pc_points=args.pc_num,
-        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32, **cfg_kw)
     tcfg = TrainConfig(batch_size=args.bs, epochs=args.epoch,
                        lr_init=args.lr_init, lr_decay=args.lr_decay,
                        optimizer=args.opt, focal=args.focal, dice=args.dice,

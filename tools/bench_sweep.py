@@ -33,6 +33,8 @@ import numpy as np
 # (name, reference RTX A4000 fps from README.md:80-94; None = not published)
 DEFAULT_CONFIGS = [
     ("EN-GDF-PN-S0", 61.3),    # README.md:81 — the flagship
+    ("EN-GDF-PN-S1", 59.7),    # README.md:87 — named by the north-star
+    ("EN-GDF-PN-S2", 58.1),    # README.md:91 — named by the north-star
     ("EN-GDF-PN2-S0", 57.7),   # README.md:83
     ("MV-GDF-PN-S1", 55.8),    # README.md:90
     ("EN-CDF-PN2-S2", None),   # best pc-mIoU family at S2 (README.md:101)
@@ -80,8 +82,21 @@ def bench_config(name: str, ref_fps, iters: int, with_train: bool) -> dict:
         return (img + s.astype(img.dtype), rad + s.astype(rad.dtype),
                 pc + s.astype(pc.dtype))
 
+    import datetime
+    import subprocess
+    try:
+        rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True,
+                             cwd=os.path.dirname(__file__)).stdout.strip()
+    except OSError:
+        rev = None
+    # Row provenance: r4's sweep mixed rows measured at different commits
+    # (pre-/post-fuse-gate) with no way to tell — every row now says what
+    # code produced it (VERDICT r4 weak 1).
     out = {"config": name, "ref_fps_a4000": ref_fps,
            "params": count_params(variables["params"]),
+           "git_rev": rev or "unknown",
+           "date": datetime.date.today().isoformat(),
            "method": "fetch-forced device time (profiling."
                      "device_time_per_iter)"}
 

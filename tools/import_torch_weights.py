@@ -55,16 +55,32 @@ def import_torch_checkpoint(state_dict: dict, cfg, with_pc: bool = True,
     return transplant(variables, state_dict, mapping, strict=strict)
 
 
-def save_variables(variables: dict, path: str) -> None:
+META_KEY = "__achelous_meta__"
+
+
+def save_variables(variables: dict, path: str, meta: dict | None = None
+                   ) -> None:
+    """Write flax variables as msgpack, with an optional provenance stamp.
+
+    `meta` (str->str) is stored under META_KEY inside the same file.  The
+    transplant path stamps provenance="torch-transplant": reference
+    checkpoints were trained with UNBOUNDED deform offsets and measured
+    trained offsets exceed the banded default of +-4 cells on 17.9% of taps
+    (OFFSET_DISTRIBUTION.json), so loaders must auto-select
+    deform_band=None for them (achelous_tpu/predict.load_weights does)."""
     from flax import serialization
+    doc = dict(variables)
+    if meta:
+        doc[META_KEY] = {str(k): str(v) for k, v in meta.items()}
     with open(path, "wb") as f:
-        f.write(serialization.msgpack_serialize(variables))
+        f.write(serialization.msgpack_serialize(doc))
 
 
 def load_variables(path: str) -> dict:
-    from flax import serialization
-    with open(path, "rb") as f:
-        return serialization.msgpack_restore(f.read())
+    """Restore variables only (meta stripped); see predict.load_weights for
+    the meta-aware loader."""
+    from achelous_tpu.predict import load_weights
+    return load_weights(path)[0]
 
 
 def main(argv=None) -> int:
@@ -92,7 +108,11 @@ def main(argv=None) -> int:
     sd = load_state_dict(args.pth)
     variables = import_torch_checkpoint(sd, cfg, with_pc=not args.no_pc,
                                         strict=not args.partial)
-    save_variables(variables, args.out)
+    save_variables(variables, args.out,
+                   meta={"provenance": "torch-transplant",
+                         "source": os.path.basename(args.pth),
+                         "config_name": cfg.name,
+                         "deform_band": "none"})
     n = sum(v.size for v in
             __import__("jax").tree_util.tree_leaves(variables["params"]))
     print(f"imported {len(sd)} torch tensors -> {args.out} "
