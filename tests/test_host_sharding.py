@@ -271,3 +271,52 @@ def test_sharded_infer_matches_single_device():
             np.testing.assert_allclose(g.astype(np.float32),
                                        w.astype(np.float32),
                                        rtol=1e-5, atol=1e-5)
+
+
+def test_fused_radarconv_under_mesh_matches_single_device():
+    """The fused RadarConv kernel (r4's fourth Pallas kernel,
+    ops/pallas_deform.pallas_fused_radarconv) gates on PER-SHARD batch
+    (ops/deform.py fuse_bs), so it CAN engage under a batch mesh — 8
+    global / 8 devices = 1 <= 2.  Mesh-mode fused output and gradients
+    must equal the single-device XLA composition (VERDICT r4 weak 7)."""
+    import jax.numpy as jnp
+    from achelous_tpu.core import kernels
+    from achelous_tpu.ops.deform import DeformableConv2d
+    from achelous_tpu.parallel.mesh import batch_sharding, replicated
+
+    rng = np.random.RandomState(1)
+    b, h, w, c = 8, 16, 16, 3
+    x = jnp.asarray(rng.randn(b, h, w, c), jnp.float32)
+    mod = DeformableConv2d(features=c, band=2, input_pool=True)
+    with kernels.no_pallas():
+        variables = mod.init(jax.random.PRNGKey(0), x)
+    # non-zero offsets so the kernel leaves tier 0
+    variables = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rng.randn(*p.shape) * 0.3, p.dtype), variables)
+
+    with kernels.no_pallas():
+        want = mod.apply(variables, x)
+        want_g = jax.grad(lambda v, xx: mod.apply(v, xx).astype(
+            jnp.float32).sum(), argnums=(0, 1))(variables, x)
+
+    mesh = make_mesh()
+    sh, rep = batch_sharding(mesh), replicated(mesh)
+
+    def fwd_mesh(v, xx):
+        with kernels.pallas_batch_mesh(mesh):
+            return mod.apply(v, xx)
+
+    before = kernels.shard_map_count
+    with kernels.pallas_interpret():
+        got = jax.jit(fwd_mesh, in_shardings=(rep, sh))(variables, x)
+        got_g = jax.jit(jax.grad(lambda v, xx: fwd_mesh(v, xx).astype(
+            jnp.float32).sum(), argnums=(0, 1)),
+            in_shardings=(rep, sh))(variables, x)
+    assert kernels.shard_map_count > before     # the kernel actually wrapped
+    assert len(got.sharding.device_set) == 8    # output stayed sharded
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    for g, wv in zip(jax.tree_util.tree_leaves(got_g),
+                     jax.tree_util.tree_leaves(want_g)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(wv),
+                                   rtol=1e-4, atol=1e-5)
