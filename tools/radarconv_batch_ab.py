@@ -34,6 +34,10 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="1,4,8,32")
     ap.add_argument("--resolution", type=int, default=320)
+    ap.add_argument("--phi", default="S0",
+                    help="width size whose RCNet to A/B — the gate constants "
+                         "were calibrated on S0 only (VERDICT r4 weak 7); "
+                         "S1/S2 run cin up to 30/36 in the stage tails")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
 
@@ -43,7 +47,7 @@ def main(argv=None):
 
     res = args.resolution
     results = {"device": str(jax.devices()[0]), "resolution": res,
-               "cells": []}
+               "phi": args.phi, "cells": []}
     rng = np.random.RandomState(0)
 
     for bs in [int(b) for b in args.batches.split(",")]:
@@ -55,7 +59,7 @@ def main(argv=None):
                 os.environ.pop("ACHELOUS_DEFORM_FUSE_MAX_CIN", None)
             else:
                 os.environ["ACHELOUS_DEFORM_FUSE_MAX_CIN"] = fuse_cap
-            model = RCNet(phi="S0", band=4, cf=cf, dtype=jnp.bfloat16)
+            model = RCNet(phi=args.phi, band=4, cf=cf, dtype=jnp.bfloat16)
             variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
 
             def step(carry, model=model, variables=variables):
