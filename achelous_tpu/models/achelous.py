@@ -101,9 +101,18 @@ class Achelous(nn.Module):
                                      deploy=self.deploy, dtype=cfg.dtype,
                                      name="fpn")(feats, train)
 
+        # The radar map is accepted in either layout: NHWC [B,R,R,3] (the
+        # repo convention) or channels-first [B,3,R,R] — the reference's own
+        # tensor layout (utils/dataloader.py:157-158 feeds NCHW) and what the
+        # on-device splat emits.  CF input + CF-chained RCNet skips the
+        # [B,320,320,3] entry relayout entirely (TRACE_SUMMARY_BS1.txt).
+        # Shape-based detection is unambiguous: resolution >= 32 > channels.
+        radar_cf = (radar_map.shape[1] == cfg.radar_channels
+                    and radar_map.shape[-1] != cfg.radar_channels)
         radar_feats = RCNet(phi=cfg.phi, band=cfg.deform_band,
                             dtype=cfg.dtype,
-                            name="radar_encoder")(radar_map, train)
+                            name="radar_encoder")(radar_map, train,
+                                                  in_cf=radar_cf)
 
         # det_img is (P5, P4, P3) high-to-low stride; fuse per scale with the
         # matching radar feature then feed the head P3->P5

@@ -130,7 +130,8 @@ class RCNet(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
+    def __call__(self, x, train: bool = False, in_cf: bool = False
+                 ) -> Tuple[jnp.ndarray, ...]:
         from achelous_tpu.core.kernels import pallas_default
         cf = self.cf
         if cf is None:
@@ -148,8 +149,15 @@ class RCNet(nn.Module):
             else:
                 specs.append((widths[i - 1] // 4, False))
                 specs.append((widths[i] // 4, True))
-        if cf:
+        # `in_cf` callers hand the radar map channels-first straight off the
+        # on-device splat (ops/radar_splat.py emits [B,C,H,W] natively) —
+        # when the encoder itself runs CF that kills the [B,320,320,3] entry
+        # relayout, the single largest non-compute op in the bs=1 trace
+        # (TRACE_SUMMARY_BS1.txt fusion.2223 + copy.1782/1785, ~5%).
+        if cf and not in_cf:
             x = jnp.transpose(x, (0, 3, 1, 2))
+        elif in_cf and not cf:
+            x = jnp.transpose(x, (0, 2, 3, 1))
         outs = []
         for i, (feat, down) in enumerate(specs):
             x = RCBlock(feat, down=down, band=self.band, cf=cf,

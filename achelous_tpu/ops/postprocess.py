@@ -108,7 +108,6 @@ def nms_single(decoded: jnp.ndarray, num_classes: int, conf_thres: float,
     boxes = jnp.concatenate([cxcy - wh / 2, cxcy + wh / 2], axis=-1)
     obj = decoded[:, 4]
     cls_conf = jnp.max(decoded[:, 5:5 + num_classes], axis=-1)
-    cls_idx = jnp.argmax(decoded[:, 5:5 + num_classes], axis=-1).astype(jnp.int32)
     scores = obj * cls_conf
     live = scores >= conf_thres
 
@@ -117,7 +116,13 @@ def nms_single(decoded: jnp.ndarray, num_classes: int, conf_thres: float,
     p = min(pre_nms_topk, decoded.shape[0])
     cand_scores, cand = jax.lax.top_k(jnp.where(live, scores, -1.0), p)
     cand_live = cand_scores >= jnp.maximum(conf_thres, 0.0)
-    ccls = cls_idx[cand]
+    # class argmax only on the P candidates, not all A anchors: the [A]-wide
+    # max+argmax fusion was 4.2% of the bs=1 frame (TRACE_SUMMARY_BS1.txt
+    # iota_reduce_fusion — the s32 index bookkeeping in the badly-tiled
+    # [A, 5+K] layout); the values-only max above fuses cheaply and the
+    # argmax runs on the gathered [P, K] slab
+    ccls = jnp.argmax(decoded[cand, 5:5 + num_classes],
+                      axis=-1).astype(jnp.int32)
     # Clip candidate boxes to a fixed finite range: non-finite boxes are
     # already dropped from `live` above, this guards merely-huge ones so a
     # single diverged prediction can't skew the IoU matrix (the torchvision

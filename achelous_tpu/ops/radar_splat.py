@@ -39,9 +39,14 @@ def _indices(points: jnp.ndarray, resolution: int, image_w: float,
 
 def splat_radar_points(points: jnp.ndarray, valid: jnp.ndarray | None = None,
                        resolution: int = 320, image_w: float = 1920.0,
-                       image_h: float = 1080.0) -> jnp.ndarray:
+                       image_h: float = 1080.0, cf: bool = False
+                       ) -> jnp.ndarray:
     """Exact notebook-parity splat -> [resolution, resolution, 3] (HWC, where
-    H is the v-axis after the notebook's transpose).
+    H is the v-axis after the notebook's transpose), or [3, H, W] with
+    `cf=True` — the reference's own stored layout ([c, v, u], notebook
+    transpose(0, 2, 1)), emitted by scatter indexing rather than a transpose
+    so the CF-chained RCNet (models/rcnet.py in_cf) gets its input with no
+    relayout op at all.
 
     points: [N, 5] = (range, doppler, rcs, u, v); `valid` masks padding rows.
     """
@@ -52,48 +57,55 @@ def splat_radar_points(points: jnp.ndarray, valid: jnp.ndarray | None = None,
     feats = points[:, :3].astype(jnp.float32)
 
     def step(carry, inp):
-        grid, occupied = carry               # [r, r, 3], [r, r] bool
+        grid, occupied = carry    # cf: [3, r(v), r(u)] else [r(v), r(u), 3]
         rw, cl, o, f = inp
         # collision bump: occupied cell and rw >= 1 -> rw - 1
-        # (notebook checks channel 0's cell; all channels share cells)
+        # (notebook checks channel 0's cell; all channels share cells);
+        # `occupied` is indexed [row(u), col(v)] in both layouts
         bump = occupied[rw, cl] & (rw >= 1)
         rw = jnp.where(bump, rw - 1, rw)
-        newg = grid.at[rw, cl].set(f)
+        # the notebook's final transpose(0, 2, 1) = store at [*, col, row]
+        newg = grid.at[:, cl, rw].set(f) if cf else grid.at[cl, rw].set(f)
         newo = occupied.at[rw, cl].set(True)
         grid = jnp.where(o, newg, grid)
         occupied = jnp.where(o, newo, occupied)
         return (grid, occupied), None
 
-    grid0 = jnp.zeros((r, r, 3), jnp.float32)
+    grid0 = jnp.zeros((3, r, r) if cf else (r, r, 3), jnp.float32)
     occ0 = jnp.zeros((r, r), bool)
     (grid, _), _ = jax.lax.scan(step, (grid0, occ0), (row, col, ok, feats))
-    # notebook transpose(0, 2, 1): [c, row(u), col(v)] -> [c, v, u]; in our
-    # HWC layout that is a (row <-> col) swap.
-    return jnp.swapaxes(grid, 0, 1)
+    return grid
 
 
 def splat_radar_fast(points: jnp.ndarray, valid: jnp.ndarray | None = None,
                      resolution: int = 320, image_w: float = 1920.0,
-                     image_h: float = 1080.0) -> jnp.ndarray:
+                     image_h: float = 1080.0, cf: bool = False) -> jnp.ndarray:
     """Vectorized last-write-wins splat (no collision bump): one scatter,
     fully parallel.  Cells hit by multiple points keep the highest-index
-    point, matching the notebook's overwrite for the no-bump case."""
+    point, matching the notebook's overwrite for the no-bump case.
+    `cf=True` emits [3, H, W] (the reference's stored [c, v, u] layout) by
+    gathering channel-major — no transpose op in either layout."""
     r = resolution
     row, col, ok = _indices(points, r, image_w, image_h)
     if valid is not None:
         ok = ok & valid
     feats = points[:, :3].astype(jnp.float32)
     n = points.shape[0]
-    flat_idx = jnp.where(ok, row * r + col, r * r)   # invalid -> dropped slot
+    # flatten as (col-major v, row-major u): position (v, u) — the
+    # notebook's transposed layout — so no output transpose is needed
+    flat_idx = jnp.where(ok, col * r + row, r * r)   # invalid -> dropped slot
     # deterministic last-write-wins: scatter-max the point ORDER per cell
     # (scatter-set with duplicate indices has undefined order), then gather.
     order = jnp.arange(n, dtype=jnp.int32)
     winner = jnp.full((r * r + 1,), -1, jnp.int32).at[flat_idx].max(order)
     winner = winner[:-1]
+    if cf:
+        vals = jnp.where((winner >= 0)[None, :],
+                         feats.T[:, jnp.maximum(winner, 0)], 0.0)
+        return vals.reshape(3, r, r)
     vals = jnp.where((winner >= 0)[:, None],
                      feats[jnp.maximum(winner, 0)], 0.0)
-    grid = vals.reshape(r, r, 3)
-    return jnp.swapaxes(grid, 0, 1)
+    return vals.reshape(r, r, 3)
 
 
 def minmax_normalize(radar_map: jnp.ndarray) -> jnp.ndarray:

@@ -192,9 +192,13 @@ class AchelousPredictor:
     def prepare_radar(self, npz_path: Optional[str] = None,
                       csv_path: Optional[str] = None):
         cfg = self.cfg
+        # The radar map rides CHANNELS-FIRST end to end: the reference npz
+        # stores [3, H, W] (radar_feature_map_generate.ipynb transpose) and
+        # the model accepts CF natively (models/achelous.py radar_cf) — no
+        # host transpose here and no [B,320,320,3] relayout on device
+        # (TRACE_SUMMARY_BS1.txt fusion.2223).
         if npz_path and os.path.exists(npz_path):
             m = np.load(npz_path)["arr_0"].astype(np.float32)
-            m = np.transpose(m, (1, 2, 0))
         elif csv_path and os.path.exists(csv_path):
             pts = load_radar_csv(csv_path, SPLAT_FEATURES)
             n_real = min(len(pts), cfg.pc_points)
@@ -203,9 +207,10 @@ class AchelousPredictor:
             valid = np.arange(cfg.pc_points) < n_real
             m = np.asarray(splat_radar_fast(jnp.asarray(pts),
                                             jnp.asarray(valid),
-                                            resolution=cfg.resolution))
+                                            resolution=cfg.resolution,
+                                            cf=True))
         else:
-            m = np.zeros((cfg.resolution, cfg.resolution, cfg.radar_channels),
+            m = np.zeros((cfg.radar_channels, cfg.resolution, cfg.resolution),
                          np.float32)
         if self.minmax_radar:
             m = np.asarray(minmax_normalize(jnp.asarray(m)))

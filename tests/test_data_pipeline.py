@@ -54,6 +54,26 @@ def test_splat_fast_last_write_wins():
     assert got[10, 10, 0] == 3.0             # last point wins (after swap HW)
 
 
+def test_splat_cf_layouts_agree():
+    """cf=True emits the reference's stored [c, v, u] layout with no
+    transpose op; must equal the HWC output transposed (both variants)."""
+    rng = np.random.RandomState(1)
+    n = 64
+    pts = np.zeros((n, 5), np.float32)
+    pts[:, 0] = rng.uniform(1, 50, n)
+    pts[:, 1] = rng.uniform(-10, 10, n)
+    pts[:, 2] = rng.uniform(1, 30, n)
+    pts[:, 3] = rng.uniform(0, 1920, n)
+    pts[:, 4] = rng.uniform(0, 1080, n)
+    pts[20:28, 3:5] = pts[0:8, 3:5]          # collisions
+    valid = np.arange(n) < 60
+    for fn in (splat_radar_points, splat_radar_fast):
+        hwc = np.asarray(fn(jnp.asarray(pts), jnp.asarray(valid)))
+        cf = np.asarray(fn(jnp.asarray(pts), jnp.asarray(valid), cf=True))
+        assert cf.shape == (3, 320, 320)
+        np.testing.assert_array_equal(cf, np.transpose(hwc, (2, 0, 1)))
+
+
 def test_minmax_normalize():
     x = jnp.asarray([[0.0, 5.0], [10.0, 2.5]])
     y = np.asarray(minmax_normalize(x))
