@@ -43,7 +43,13 @@ def main():
     rng = np.random.RandomState(0)
     r = cfg.resolution
     image = jnp.asarray(rng.rand(1, r, r, 3), jnp.bfloat16)
-    radar = jnp.asarray(rng.rand(1, r, r, 3), jnp.bfloat16)
+    # radar rides CHANNELS-FIRST [B,3,R,R]: the production layout — the
+    # reference's npz stores [3,H,W] and feeds NCHW tensors
+    # (utils/dataloader.py:157-158), predict.py loads it untransposed, and
+    # the on-device splat emits CF natively (ops/radar_splat.py cf=True) —
+    # so the CF-chained RCNet starts with NO entry relayout
+    # (TRACE_SUMMARY_BS1.txt fusion.2223 + copy.1782/1785 ~5% of the frame).
+    radar = jnp.asarray(rng.rand(1, 3, r, r), jnp.bfloat16)
     pc = jnp.asarray(rng.rand(1, cfg.pc_points, cfg.pc_channels), jnp.bfloat16)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), image, radar, pc)
 

@@ -15,7 +15,14 @@ rate (block_until_ready there returns at enqueue; see bench.py).
 
 Usage:
   python tools/bench_sweep.py [--out BENCH_SWEEP.json] [--configs EN-GDF-PN-S0,...]
-         [--iters 100] [--skip-train]
+         [--iters 100] [--skip-train] [--train-only]
+
+--train-only merges fresh train_* fields into existing rows without
+re-measuring inference: the r5 sweep's train cells all failed because the
+sweep process had imported the pre-fix avg_pool_same_cf (the reduce_window
+init-value linearization bug, TRAIN_COMPILE_BISECT.json), and redoing the
+~20-min-per-config infer slopes just to land train numbers would waste a
+hardware window.
 """
 from __future__ import annotations
 
@@ -47,12 +54,71 @@ def parse_name(name: str):
                 pc_model=pc.lower(), phi=phi)
 
 
-def bench_config(name: str, ref_fps, iters: int, with_train: bool) -> dict:
+def _git_stamp() -> dict:
+    import datetime
+    import subprocess
+    try:
+        rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True,
+                             cwd=os.path.dirname(__file__)).stdout.strip()
+    except OSError:
+        rev = None
+    return {"git_rev": rev or "unknown",
+            "date": datetime.date.today().isoformat()}
+
+
+def measure_train(model, cfg, inputs) -> dict:
+    """Train-step throughput at the largest batch the rig admits, starting
+    from the reference's bs=32 (/root/reference/train.py:151,159)."""
+    from achelous_tpu.data.synthetic import synthetic_batch
+    from achelous_tpu.train.train_state import (TrainConfig,
+                                                create_train_state,
+                                                make_train_step)
+    from achelous_tpu.utils.profiling import device_time_per_iter
+    out = {}
+    bs = 32
+    while bs >= 4:
+        try:
+            tcfg = TrainConfig(batch_size=bs)
+            state = create_train_state(model, cfg, tcfg,
+                                       jax.random.PRNGKey(0), inputs(2))
+            raw_step = make_train_step(model, cfg, tcfg)
+            batch = {k: jnp.asarray(v) for k, v in
+                     synthetic_batch(cfg, bs, tcfg.max_gt).items()}
+            lr = jnp.float32(1e-3)
+
+            # The batch rides in the CARRY, not a closure: closed-over
+            # arrays are embedded in the HLO as literal constants, and
+            # at bs=32 the one-hot seg targets alone are ~130 MB — the
+            # remote-compile helper rejects the request with HTTP 413
+            # (observed 2026-08-18; this was the r3 "bs=32 train does
+            # not compile" mystery, VERDICT r3 next 3).  The optimizer
+            # state carries the iteration-to-iteration dependency;
+            # batch reuse matches a steady dataloader-fed loop.
+            def train_step(carry, raw_step=raw_step, lr=lr):
+                st, bt = carry
+                return raw_step(st, bt, lr)[0], bt
+
+            t = device_time_per_iter(train_step, (state, batch),
+                                     n1=3, n2=12, repeats=3)
+            out["train_bs"] = bs
+            out["train_steps_per_s"] = round(1.0 / t, 3)
+            out["train_samples_per_s"] = round(bs / t, 1)
+            break
+        except Exception as e:       # HBM OOM at this batch — halve
+            # Keep the first lines of the message: the 2026-08-18
+            # window lost the bs=32/16 root cause (helper 500 vs real
+            # OOM) because only the type was printed.
+            msg = " / ".join(str(e).splitlines()[:3])[:500]
+            print(f"train bs={bs} failed ({type(e).__name__}: {msg}); "
+                  f"retrying bs={bs // 2}", flush=True)
+            bs //= 2
+    return out
+
+
+def make_model_and_inputs(name: str):
     from achelous_tpu.core.config import AchelousConfig
     from achelous_tpu.models.achelous import create_model
-    from achelous_tpu.ops.postprocess import decode_outputs, non_max_suppression
-    from achelous_tpu.utils.profiling import (_tiny_scalar, count_params,
-                                              device_time_per_iter, flops_of)
 
     cfg = AchelousConfig(resolution=320, dtype=jnp.bfloat16,
                          **parse_name(name))
@@ -61,10 +127,24 @@ def bench_config(name: str, ref_fps, iters: int, with_train: bool) -> dict:
     rng = np.random.RandomState(0)
 
     def inputs(bs):
+        # radar CF [B,3,R,R]: the production/serving layout (see bench.py —
+        # the reference feeds NCHW, predict.py loads the npz untransposed,
+        # the on-device splat emits CF), so the CF-chained RCNet starts
+        # with no entry relayout.
         return (jnp.asarray(rng.rand(bs, r, r, 3), jnp.bfloat16),
-                jnp.asarray(rng.rand(bs, r, r, 3), jnp.bfloat16),
+                jnp.asarray(rng.rand(bs, 3, r, r), jnp.bfloat16),
                 jnp.asarray(rng.rand(bs, cfg.pc_points, cfg.pc_channels),
                             jnp.bfloat16))
+    return model, cfg, inputs
+
+
+def bench_config(name: str, ref_fps, iters: int, with_train: bool) -> dict:
+    from achelous_tpu.ops.postprocess import decode_outputs, non_max_suppression
+    from achelous_tpu.utils.profiling import (_tiny_scalar, count_params,
+                                              device_time_per_iter, flops_of)
+
+    model, cfg, inputs = make_model_and_inputs(name)
+    r = cfg.resolution
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), *inputs(1))
 
     # All timings are TRUE device time via fetch-forced fori_loop slopes
@@ -82,21 +162,12 @@ def bench_config(name: str, ref_fps, iters: int, with_train: bool) -> dict:
         return (img + s.astype(img.dtype), rad + s.astype(rad.dtype),
                 pc + s.astype(pc.dtype))
 
-    import datetime
-    import subprocess
-    try:
-        rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
-                             capture_output=True, text=True,
-                             cwd=os.path.dirname(__file__)).stdout.strip()
-    except OSError:
-        rev = None
     # Row provenance: r4's sweep mixed rows measured at different commits
     # (pre-/post-fuse-gate) with no way to tell — every row now says what
     # code produced it (VERDICT r4 weak 1).
     out = {"config": name, "ref_fps_a4000": ref_fps,
            "params": count_params(variables["params"]),
-           "git_rev": rev or "unknown",
-           "date": datetime.date.today().isoformat(),
+           **_git_stamp(),
            "method": "fetch-forced device time (profiling."
                      "device_time_per_iter)"}
 
@@ -120,48 +191,18 @@ def bench_config(name: str, ref_fps, iters: int, with_train: bool) -> dict:
         out["vs_a4000_bs1"] = round(out["infer_bs1_fps"] / ref_fps, 2)
 
     if with_train:
-        from achelous_tpu.data.synthetic import synthetic_batch
-        from achelous_tpu.train.train_state import (TrainConfig,
-                                                    create_train_state,
-                                                    make_train_step)
-        bs = 32
-        while bs >= 4:
-            try:
-                tcfg = TrainConfig(batch_size=bs)
-                state = create_train_state(model, cfg, tcfg,
-                                           jax.random.PRNGKey(0), inputs(2))
-                raw_step = make_train_step(model, cfg, tcfg)
-                batch = {k: jnp.asarray(v) for k, v in
-                         synthetic_batch(cfg, bs, tcfg.max_gt).items()}
-                lr = jnp.float32(1e-3)
-
-                # The batch rides in the CARRY, not a closure: closed-over
-                # arrays are embedded in the HLO as literal constants, and
-                # at bs=32 the one-hot seg targets alone are ~130 MB — the
-                # remote-compile helper rejects the request with HTTP 413
-                # (observed 2026-08-18; this was the r3 "bs=32 train does
-                # not compile" mystery, VERDICT r3 next 3).  The optimizer
-                # state carries the iteration-to-iteration dependency;
-                # batch reuse matches a steady dataloader-fed loop.
-                def train_step(carry, raw_step=raw_step, lr=lr):
-                    st, bt = carry
-                    return raw_step(st, bt, lr)[0], bt
-
-                t = device_time_per_iter(train_step, (state, batch),
-                                         n1=3, n2=12, repeats=3)
-                out["train_bs"] = bs
-                out["train_steps_per_s"] = round(1.0 / t, 3)
-                out["train_samples_per_s"] = round(bs / t, 1)
-                break
-            except Exception as e:       # HBM OOM at this batch — halve
-                # Keep the first lines of the message: the 2026-08-18
-                # window lost the bs=32/16 root cause (helper 500 vs real
-                # OOM) because only the type was printed.
-                msg = " / ".join(str(e).splitlines()[:3])[:500]
-                print(f"train bs={bs} failed ({type(e).__name__}: {msg}); "
-                      f"retrying bs={bs // 2}", flush=True)
-                bs //= 2
+        out.update(measure_train(model, cfg, inputs))
     return out
+
+
+def bench_train_only(name: str) -> dict:
+    """Just the train_* fields plus their own provenance stamp (the infer
+    fields keep the rev that measured them)."""
+    model, cfg, inputs = make_model_and_inputs(name)
+    res = measure_train(model, cfg, inputs)   # keys already train_-prefixed
+    if res:
+        res.update({"train_" + k: v for k, v in _git_stamp().items()})
+    return res
 
 
 def main(argv=None):
@@ -172,6 +213,9 @@ def main(argv=None):
                     help="comma-separated (default: the 4 BASELINE configs)")
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--train-only", action="store_true",
+                    help="merge fresh train_* fields into existing rows "
+                         "(keeps the infer measurements)")
     args = ap.parse_args(argv)
 
     if args.configs:
@@ -200,9 +244,13 @@ def main(argv=None):
             pass
 
     def upsert(res):
-        for i, r in enumerate(doc["results"]):
+        # MERGE into an existing row rather than replace it: infer and train
+        # cells are re-measured independently (--skip-train / --train-only)
+        # and each carries its own provenance stamp, so a fresh infer run
+        # must not wipe the row's train_* fields (and vice versa).
+        for r in doc["results"]:
             if r.get("config") == res["config"]:
-                doc["results"][i] = res
+                r.update(res)
                 return
         doc["results"].append(res)
 
@@ -225,10 +273,16 @@ def main(argv=None):
     # hours of measurement.
     for i, (name, ref_fps) in enumerate(todo):
         print(f"== {name} ==", flush=True)
-        res = bench_config(name, ref_fps, args.iters,
-                           with_train=not args.skip_train)
-        print(json.dumps(res), flush=True)
-        upsert(res)
+        if args.train_only:
+            fields = bench_train_only(name)
+            print(json.dumps(fields), flush=True)
+            fields["config"] = name
+            upsert(fields)
+        else:
+            res = bench_config(name, ref_fps, args.iters,
+                               with_train=not args.skip_train)
+            print(json.dumps(res), flush=True)
+            upsert(res)
         write(in_flight=i + 1 < len(todo))
     print(f"wrote {args.out}")
 

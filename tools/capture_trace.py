@@ -43,7 +43,10 @@ def main(argv=None):
     r = cfg.resolution
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.rand(args.bs, r, r, 3), jnp.bfloat16)
-    rad = jnp.asarray(rng.rand(args.bs, r, r, 3), jnp.bfloat16)
+    # radar CF [B,3,R,R] — the production layout benched by bench.py /
+    # tools/bench_sweep.py (reference feeds NCHW; the on-device splat and
+    # predict.py's npz load both emit CF), so the trace matches the bench
+    rad = jnp.asarray(rng.rand(args.bs, 3, r, r), jnp.bfloat16)
     pc = jnp.asarray(rng.rand(args.bs, cfg.pc_points, cfg.pc_channels),
                      jnp.bfloat16)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), img, rad, pc)
