@@ -116,13 +116,17 @@ def nms_single(decoded: jnp.ndarray, num_classes: int, conf_thres: float,
     p = min(pre_nms_topk, decoded.shape[0])
     cand_scores, cand = jax.lax.top_k(jnp.where(live, scores, -1.0), p)
     cand_live = cand_scores >= jnp.maximum(conf_thres, 0.0)
-    # class argmax only on the P candidates, not all A anchors: the [A]-wide
-    # max+argmax fusion was 4.2% of the bs=1 frame (TRACE_SUMMARY_BS1.txt
-    # iota_reduce_fusion — the s32 index bookkeeping in the badly-tiled
-    # [A, 5+K] layout); the values-only max above fuses cheaply and the
-    # argmax runs on the gathered [P, K] slab
-    ccls = jnp.argmax(decoded[cand, 5:5 + num_classes],
-                      axis=-1).astype(jnp.int32)
+    # Class argmax over ALL anchors, indexed by the candidate set.  The
+    # "cheaper" alternative — gather the [P, 5+K] candidate slab first and
+    # argmax only that — looked like it should kill the 4.2%
+    # iota_reduce_fusion in TRACE_SUMMARY_BS1.txt, but MEASURED 15% SLOWER
+    # end-to-end (tools/diag_cf_regress.py, 2026-08-19: bs=1 full pipeline
+    # 3.44 ms with the candidate-slab gather vs 2.99 ms with this form —
+    # the offset-5 [1, K]-slice row gather lowers to a far worse TPU
+    # program than the wide argmax it saved).  Do not "optimize" this
+    # without re-running that A/B.
+    ccls = jnp.argmax(decoded[:, 5:5 + num_classes],
+                      axis=-1).astype(jnp.int32)[cand]
     # Clip candidate boxes to a fixed finite range: non-finite boxes are
     # already dropped from `live` above, this guards merely-huge ones so a
     # single diverged prediction can't skew the IoU matrix (the torchvision
