@@ -29,6 +29,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spp", type=str2bool, default=True)
     p.add_argument("--resolution", type=int, default=320)
     p.add_argument("--bs", type=int, default=32)
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="accumulate gradients over N micro-batches of bs/N "
+                        "inside the jitted step (one optimizer update per "
+                        "step; compiles an N-times-smaller XLA program — "
+                        "how bs=32 trains through the axon compile helper, "
+                        "TRAIN_COMPILE_BISECT.json)")
     p.add_argument("--epoch", type=int, default=100)
     p.add_argument("--lr_init", type=float, default=0.03)
     p.add_argument("--lr_decay", default="cos", choices=["cos", "step"])
@@ -109,7 +115,8 @@ def main(argv=None):
                        optimizer=args.opt, focal=args.focal, dice=args.dice,
                        mtl=args.mtl, freeze_epochs=args.freeze_epoch,
                        init_type=None if args.init_type == "none"
-                       else args.init_type, init_gain=args.init_gain)
+                       else args.init_type, init_gain=args.init_gain,
+                       grad_accum=args.grad_accum)
 
     def paths(annotation):
         return WaterScenesPaths(

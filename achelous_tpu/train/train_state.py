@@ -68,6 +68,19 @@ class TrainConfig:
                                      # (detection_loss.py:466-485, applied at
                                      # train.py:342 with type='normal')
     init_gain: float = 0.02
+    grad_accum: int = 1              # micro-batch gradient accumulation: the
+                                     # jitted step lax.scans A micro-batches
+                                     # of B/A samples and applies ONE
+                                     # optimizer/EMA update on the mean grad.
+                                     # The XLA program is micro-batch-sized —
+                                     # this is how the reference's bs=32
+                                     # (train.py:151,159) trains through the
+                                     # axon remote-compile helper, which 500s
+                                     # on the monolithic bs=32 graph
+                                     # (TRAIN_COMPILE_BISECT.json).  Same
+                                     # semantics as torch-style accumulation:
+                                     # BN moments are per-micro-batch and the
+                                     # det loss normalizes per micro-batch.
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -223,12 +236,52 @@ def make_train_step(model, cfg: AchelousConfig, tcfg: TrainConfig
                  "log_vars": jnp.zeros_like(trainable["log_vars"])}
         return grads, (new_bs, metrics)
 
+    def accum_grads(trainable, batch_stats, batch):
+        """lax.scan over grad_accum micro-batches: mean grad + mean metrics,
+        BN stats threaded sequentially (each micro forward updates them, the
+        torch accumulation semantics).  The compiled program contains ONE
+        micro-batch-sized fwd+bwd — see TrainConfig.grad_accum."""
+        a = tcfg.grad_accum
+        b = batch["image"].shape[0]
+        if b % a:
+            raise ValueError(f"batch size {b} not divisible by "
+                             f"grad_accum {a}")
+        micro = jax.tree_util.tree_map(
+            lambda x: x.reshape(a, b // a, *x.shape[1:]), batch)
+        zero_g = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), trainable)
+        zero_m = {k: jnp.zeros((), jnp.float32) for k in
+                  ("loss", "loss_det", "loss_seg", "loss_wl", "loss_pc")}
+
+        def body(carry, mb):
+            acc_g, bs_state, acc_m = carry
+            g, (new_bs, m) = jax.grad(loss_fn, has_aux=True)(
+                trainable, bs_state, mb)
+            acc_g = jax.tree_util.tree_map(
+                lambda s, x: s + x.astype(jnp.float32), acc_g, g)
+            acc_m = {k: acc_m[k] + m[k].astype(jnp.float32) for k in acc_m}
+            return (acc_g, new_bs, acc_m), None
+
+        (acc_g, new_bs, acc_m), _ = jax.lax.scan(
+            body, (zero_g, batch_stats, zero_m), micro)
+        inv = jnp.float32(1.0 / a)
+        grads = jax.tree_util.tree_map(lambda g: g * inv, acc_g)
+        metrics = {k: v * inv for k, v in acc_m.items()}
+        return grads, (new_bs, metrics)
+
     def train_step(state: TrainState, batch: dict, lr: jnp.ndarray,
                    freeze_backbone: jnp.ndarray | bool = False):
         trainable = {"model": state.params, "log_vars": state.log_vars}
         if tcfg.mtl in ("mgda", "cagrad"):
+            if tcfg.grad_accum > 1:
+                raise NotImplementedError(
+                    "grad_accum requires per-micro-batch task-grad "
+                    "accumulation under mgda/cagrad; use mtl=sum/uncertainty")
             grads, (new_bs, metrics) = surgery_grads(trainable,
                                                      state.batch_stats, batch)
+        elif tcfg.grad_accum > 1:
+            grads, (new_bs, metrics) = accum_grads(trainable,
+                                                   state.batch_stats, batch)
         else:
             grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(
                 trainable, state.batch_stats, batch)

@@ -69,17 +69,22 @@ def _git_stamp() -> dict:
 
 def measure_train(model, cfg, inputs) -> dict:
     """Train-step throughput at the largest batch the rig admits, starting
-    from the reference's bs=32 (/root/reference/train.py:151,159)."""
+    from the reference's bs=32 (/root/reference/train.py:151,159).
+
+    Ladder: bs=32 monolithic, then bs=32 with grad accumulation (2 then 4
+    micro-batches — an N-times-smaller XLA program, the workaround for the
+    compile-helper 500 on the monolithic graph, TRAIN_COMPILE_BISECT.json),
+    then halve the batch."""
     from achelous_tpu.data.synthetic import synthetic_batch
     from achelous_tpu.train.train_state import (TrainConfig,
                                                 create_train_state,
                                                 make_train_step)
     from achelous_tpu.utils.profiling import device_time_per_iter
     out = {}
-    bs = 32
-    while bs >= 4:
+    for bs, accum in ((32, 1), (32, 2), (32, 4), (16, 1), (16, 2),
+                      (8, 1), (4, 1)):
         try:
-            tcfg = TrainConfig(batch_size=bs)
+            tcfg = TrainConfig(batch_size=bs, grad_accum=accum)
             state = create_train_state(model, cfg, tcfg,
                                        jax.random.PRNGKey(0), inputs(2))
             raw_step = make_train_step(model, cfg, tcfg)
@@ -102,17 +107,17 @@ def measure_train(model, cfg, inputs) -> dict:
             t = device_time_per_iter(train_step, (state, batch),
                                      n1=3, n2=12, repeats=3)
             out["train_bs"] = bs
+            out["train_grad_accum"] = accum
             out["train_steps_per_s"] = round(1.0 / t, 3)
             out["train_samples_per_s"] = round(bs / t, 1)
             break
-        except Exception as e:       # HBM OOM at this batch — halve
+        except Exception as e:       # helper 500 / HBM OOM — next rung
             # Keep the first lines of the message: the 2026-08-18
             # window lost the bs=32/16 root cause (helper 500 vs real
             # OOM) because only the type was printed.
             msg = " / ".join(str(e).splitlines()[:3])[:500]
-            print(f"train bs={bs} failed ({type(e).__name__}: {msg}); "
-                  f"retrying bs={bs // 2}", flush=True)
-            bs //= 2
+            print(f"train bs={bs} accum={accum} failed "
+                  f"({type(e).__name__}: {msg}); next rung", flush=True)
     return out
 
 
