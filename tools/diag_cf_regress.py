@@ -14,6 +14,12 @@ candidate vs all-anchor argmax (ACHELOUS_NMS_CAND_ARGMAX gate, consulted at
 trace time), at bs=1 and bs=32.  Same timing recipe as the sweep
 (fetch-forced fori_loop slope, every input perturbed).
 
+HISTORICAL NOTE: the measured verdict (DIAG_CF_REGRESS.json — candidate
+argmax +15% end-to-end, CF feed neutral) led to reverting the candidate
+argmax and REMOVING the ACHELOUS_NMS_CAND_ARGMAX gate from
+ops/postprocess.py, so re-running this script today measures the same
+(all-anchor) argmax in both cells; re-add the gate to reproduce the A/B.
+
 Usage: PYTHONPATH=/root/.axon_site python tools/diag_cf_regress.py
 """
 from __future__ import annotations
