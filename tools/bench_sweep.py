@@ -67,22 +67,29 @@ def _git_stamp() -> dict:
             "date": datetime.date.today().isoformat()}
 
 
-def measure_train(model, cfg, inputs) -> dict:
+DEFAULT_TRAIN_RUNGS = ((32, 1), (32, 2), (32, 4), (16, 1), (16, 2),
+                       (8, 1), (4, 1))
+
+
+def measure_train(model, cfg, inputs, rungs=DEFAULT_TRAIN_RUNGS) -> dict:
     """Train-step throughput at the largest batch the rig admits, starting
     from the reference's bs=32 (/root/reference/train.py:151,159).
 
     Ladder: bs=32 monolithic, then bs=32 with grad accumulation (2 then 4
     micro-batches — an N-times-smaller XLA program, the workaround for the
     compile-helper 500 on the monolithic graph, TRAIN_COMPILE_BISECT.json),
-    then halve the batch."""
+    then halve the batch.  `rungs` overrides the ladder (--train-rungs):
+    each FAILED rung costs ~9 min of hardware window (the helper compiles
+    for minutes before its subprocess dies), so once the flagship has
+    established which rungs the helper admits, the remaining configs
+    should start the ladder there."""
     from achelous_tpu.data.synthetic import synthetic_batch
     from achelous_tpu.train.train_state import (TrainConfig,
                                                 create_train_state,
                                                 make_train_step)
     from achelous_tpu.utils.profiling import device_time_per_iter
     out = {}
-    for bs, accum in ((32, 1), (32, 2), (32, 4), (16, 1), (16, 2),
-                      (8, 1), (4, 1)):
+    for bs, accum in rungs:
         try:
             tcfg = TrainConfig(batch_size=bs, grad_accum=accum)
             state = create_train_state(model, cfg, tcfg,
@@ -200,11 +207,11 @@ def bench_config(name: str, ref_fps, iters: int, with_train: bool) -> dict:
     return out
 
 
-def bench_train_only(name: str) -> dict:
+def bench_train_only(name: str, rungs=DEFAULT_TRAIN_RUNGS) -> dict:
     """Just the train_* fields plus their own provenance stamp (the infer
     fields keep the rev that measured them)."""
     model, cfg, inputs = make_model_and_inputs(name)
-    res = measure_train(model, cfg, inputs)   # keys already train_-prefixed
+    res = measure_train(model, cfg, inputs, rungs)  # keys train_-prefixed
     if res:
         res.update({"train_" + k: v for k, v in _git_stamp().items()})
     return res
@@ -221,7 +228,15 @@ def main(argv=None):
     ap.add_argument("--train-only", action="store_true",
                     help="merge fresh train_* fields into existing rows "
                          "(keeps the infer measurements)")
+    ap.add_argument("--train-rungs", default=None,
+                    help="comma-separated bs:accum ladder override, e.g. "
+                         "'32:4,16:1,8:1' — skip rungs the compile helper "
+                         "is known to reject (each failure burns ~9 min)")
     args = ap.parse_args(argv)
+    rungs = DEFAULT_TRAIN_RUNGS
+    if args.train_rungs:
+        rungs = tuple(tuple(int(v) for v in r.split(":"))
+                      for r in args.train_rungs.split(","))
 
     if args.configs:
         ref = dict(DEFAULT_CONFIGS)
@@ -279,7 +294,7 @@ def main(argv=None):
     for i, (name, ref_fps) in enumerate(todo):
         print(f"== {name} ==", flush=True)
         if args.train_only:
-            fields = bench_train_only(name)
+            fields = bench_train_only(name, rungs)
             print(json.dumps(fields), flush=True)
             fields["config"] = name
             upsert(fields)
