@@ -61,6 +61,8 @@ def summarize(paths: list[str], topk: int = 30):
         from tensorboard_plugin_profile.protobuf import xplane_pb2
 
     per_op = collections.Counter()          # name -> total ps (self time)
+    per_src = collections.Counter()         # source file:line -> total ps
+    per_mod = collections.Counter()         # tf_op module prefix -> total ps
     per_plane_span = {}
     for p in paths:
         xspace = xplane_pb2.XSpace()
@@ -83,6 +85,20 @@ def summarize(paths: list[str], topk: int = 30):
                 # CPU backend: XLA op events live on the PjRt client line
                 lines = [ln for ln in plane.lines if ln.name != "python"]
             emeta = {m.id: m.name for m in plane.event_metadata.values()}
+            # per-event "source" / "tf_op" stats (JAX embeds the user
+            # source line and the module-scoped op name in HLO metadata) —
+            # this is how the r5 small-conv hotspot was attributed to
+            # models/rcnet.py CFConv and the seg decoders (ops/smallconv.py)
+            stat_names = {k: v.name for k, v in plane.stat_metadata.items()}
+            md_stats = {}
+            for mid, m in plane.event_metadata.items():
+                d = {}
+                for st in m.stats:
+                    sn = stat_names.get(st.metadata_id, "")
+                    if sn in ("source", "tf_op"):
+                        d[sn] = st.str_value or stat_names.get(st.ref_value,
+                                                               "")
+                md_stats[mid] = d
             lo, hi, busy = None, None, 0
             for line in lines:
                 for ev in line.events:
@@ -91,6 +107,10 @@ def summarize(paths: list[str], topk: int = 30):
                             or name.startswith("end:")):
                         continue        # python frames / markers
                     per_op[name] += ev.duration_ps
+                    st = md_stats.get(ev.metadata_id, {})
+                    per_src[st.get("source", "?")] += ev.duration_ps
+                    mod = "/".join(st.get("tf_op", "?").split("/")[:4])
+                    per_mod[mod] += ev.duration_ps
                     busy += ev.duration_ps
                     t0 = ev.offset_ps
                     t1 = ev.offset_ps + ev.duration_ps
@@ -99,7 +119,7 @@ def summarize(paths: list[str], topk: int = 30):
             if busy:
                 per_plane_span[pname] = (busy, (hi - lo) if lo is not None
                                          else 0)
-    return per_op, per_plane_span
+    return per_op, per_plane_span, per_src, per_mod
 
 
 def main(argv=None):
@@ -117,7 +137,7 @@ def main(argv=None):
         print(f"no .xplane.pb under {args.path}", file=sys.stderr)
         return 1
     print(f"# {len(paths)} xplane file(s)")
-    per_op, spans = summarize(paths, args.topk)
+    per_op, spans, per_src, per_mod = summarize(paths, args.topk)
     total_ps = sum(per_op.values())
     if not total_ps:
         print("no device events found (trace may contain only host planes)")
@@ -138,6 +158,16 @@ def main(argv=None):
     print(f"\n## Top {args.topk} ops by total device time")
     for name, ps in per_op.most_common(args.topk):
         print(f"{100 * ps / total_ps:5.1f}%  {ps / 1e9:9.3f} ms  {name[:90]}")
+
+    print("\n## By source line (JAX op metadata)")
+    for src, ps in per_src.most_common(15):
+        short = src.replace("/opt/venv/lib/python3.12/site-packages/", "")
+        short = short.replace("/root/repo/tools/../", "")
+        print(f"{100 * ps / total_ps:5.1f}%  {ps / 1e9:9.3f} ms  {short}")
+
+    print("\n## By module (tf_op prefix)")
+    for mod, ps in per_mod.most_common(20):
+        print(f"{100 * ps / total_ps:5.1f}%  {ps / 1e9:9.3f} ms  {mod}")
 
     if args.flops and args.iters:
         dev_s = total_ps / 1e12
