@@ -47,6 +47,11 @@ class CFConv(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
         p = self.padding
+        from achelous_tpu.ops.smallconv import cf_fma_ok, conv_cf_fma
+        if cf_fma_ok(x.shape[1]):
+            # tiny-channel CF conv: unrolled FMA avoids the relayout copies
+            # XLA wraps around NCHW convs at these widths (ops/smallconv.py)
+            return conv_cf_fma(x, kernel, bias, self.strides, p, self.dtype)
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
             (self.strides, self.strides), [(p, p), (p, p)],

@@ -174,6 +174,9 @@ def conv_same_cf(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
                  stride: int, padding: int, dtype) -> jnp.ndarray:
     """`conv_same` for channels-first tensors: x [B,C,H,W], kernel HWIO,
     returns [B,Cout,H',W']."""
+    from achelous_tpu.ops.smallconv import cf_fma_ok, conv_cf_fma
+    if cf_fma_ok(x.shape[1]):
+        return conv_cf_fma(x, kernel, bias, stride, padding, dtype)
     x = x.astype(dtype)
     y = jax.lax.conv_general_dilated(
         x, kernel.astype(dtype), (stride, stride),

@@ -27,6 +27,32 @@ from achelous_tpu.ops.resize import upsample2x
 Dtype = Any
 
 
+class DepthwiseConvFMA(nn.Module):
+    """Stride-1 SAME depthwise conv with nn.Conv's exact param tree
+    ({kernel [k,k,1,features]}, lecun_normal, no bias) but computed as
+    unrolled shift-FMAs below the channel cap (ops/smallconv.py): at the
+    seg decoders' full-res tier XLA lowered these trivial depthwise 3x3s
+    into 7-operand "convolution fusions" bracketed by relayout copies
+    (r5 bs=1 trace: ~0.3 ms/frame across the four cheap_convs)."""
+    features: int
+    ksize: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.ksize
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, k, 1, self.features), jnp.float32)
+        from achelous_tpu.ops.smallconv import dw_fma_ok, dwconv_nhwc_fma
+        if dw_fma_ok(self.features):
+            return dwconv_nhwc_fma(x, kernel, None, self.dtype)
+        p = k // 2
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
+            [(p, p), (p, p)], feature_group_count=x.shape[-1],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 def act_fn(name: str | None):
     """reference backbone/conv_utils/normal_conv.py:11-20 (+ gelu/hswish)."""
     if name is None or name == "none":
@@ -137,10 +163,8 @@ class GhostModule(nn.Module):
         x1 = F32BatchNorm(use_running_average=not train, momentum=0.9,
                           epsilon=1e-5, dtype=self.dtype, name="primary_bn")(x1)
         x1 = act(x1)
-        dp = self.dw_size // 2
-        x2 = nn.Conv(new_ch, (self.dw_size, self.dw_size),
-                     padding=[(dp, dp), (dp, dp)], feature_group_count=init_ch,
-                     use_bias=False, dtype=self.dtype, name="cheap_conv")(x1)
+        x2 = DepthwiseConvFMA(new_ch, ksize=self.dw_size, dtype=self.dtype,
+                              name="cheap_conv")(x1)
         x2 = F32BatchNorm(use_running_average=not train, momentum=0.9,
                           epsilon=1e-5, dtype=self.dtype, name="cheap_bn")(x2)
         x2 = act(x2)
